@@ -1,0 +1,129 @@
+"""Multi-step uncertain rollout of GP dynamics — the `lax.scan` twin of the
+reference's `Dynamics.forward_propagate_torch` (dynamics.py:126-191).
+
+Reference conventions preserved (see SURVEY.md §7 step 3):
+  - state covariance initialised to 1e-3 I (dynamics.py:79, 148),
+  - action block of the joint input covariance is 1e-3 I (dynamics.py:91, 162),
+  - the GP bundle shares training inputs x = (state ‖ action) with one output per
+    state dimension (dynamics.py:32-36),
+  - gradients flow to actions only: the rollout consumes a cache built from the
+    (non-differentiated) GP state, matching the reference's detach of
+    Ky_inv / lambdas (dynamics.py:170-171),
+  - diagonal-only next-state covariance by default (dynamics.py:188), with the
+    full cross-output covariance (the reference's TODO at dynamics.py:107-122,
+    184) available via `full_cov=True` using the exact eq.-A14 cross terms.
+
+TPU-first structure: the horizon recurrence is a `lax.scan` (carry = (mean, cov));
+each step is a handful of small (d, d) factorizations plus one (N, N) MXU
+contraction per output against the precomputed `RolloutCache`.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.gp.state import GPState
+from gpmpc_tpu.ops import moments
+
+
+class RolloutCache(NamedTuple):
+    """Everything the per-step moment matching needs, hoisted out of the scan.
+
+    Built once per solve from a GPState (jit-friendly); constant w.r.t. the
+    action trajectory, so autodiff never differentiates through the GP fit.
+    """
+    x: jax.Array            # (cap, D) training inputs, D = ds + da
+    mask: jax.Array         # (cap,)
+    beta: jax.Array         # (E, cap)
+    b_lam: jax.Array        # (E, cap, cap) variance-cache (see ops.moments)
+    log_lambdas: jax.Array  # (E, D)
+    log_sigma_f: jax.Array  # (E,)
+    state_dim: int
+    action_dim: int
+
+
+def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> RolloutCache:
+    gp = jax.lax.stop_gradient(gp)
+    make = jax.vmap(moments.make_variance_cache, in_axes=(None, 0, 0, 0, 0, None))
+    vcache = make(gp.x, gp.beta, gp.kinv, gp.log_lambdas, gp.log_sigma_f, gp.mask)
+    return RolloutCache(
+        x=gp.x, mask=gp.mask, beta=gp.beta, b_lam=vcache.b_lam,
+        log_lambdas=gp.log_lambdas, log_sigma_f=gp.log_sigma_f,
+        state_dim=state_dim, action_dim=action_dim,
+    )
+
+
+def _step(cache: RolloutCache, mean, cov, action, action_var: float,
+          full_cov: bool):
+    """One moment-matching step: (mean, cov, u_t) -> (next_mean, next_cov)."""
+    ds, da = cache.state_dim, cache.action_dim
+    dt = mean.dtype
+    joint_mean = jnp.concatenate([mean, action])
+    joint_cov = jnp.zeros((ds + da, ds + da), dt)
+    joint_cov = joint_cov.at[:ds, :ds].set(cov)
+    joint_cov = joint_cov.at[ds:, ds:].set(action_var * jnp.eye(da, dtype=dt))
+
+    mean_fn = jax.vmap(moments.mean_prop,
+                       in_axes=(None, None, None, 0, 0, 0, None))
+    new_mean, _ = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
+                          cache.log_lambdas, cache.log_sigma_f, cache.mask)
+
+    var_fn = jax.vmap(
+        moments.variance_prop_cached,
+        in_axes=(None, None, None, moments.VarianceCache(0), 0, 0, 0))
+    new_var = var_fn(joint_mean, joint_cov, cache.x,
+                     moments.VarianceCache(cache.b_lam),
+                     cache.log_lambdas, cache.log_sigma_f, new_mean)
+
+    if not full_cov:
+        return new_mean, jnp.diag(new_var)
+
+    # Full cross-output covariance (eq. A14) on the strictly-lower triangle,
+    # mirrored; diagonal stays the exact variances.
+    def pair_cov(e1, e2):
+        return moments.covariance_prop(
+            joint_mean, joint_cov, cache.x,
+            cache.beta[e1], cache.beta[e2],
+            cache.log_lambdas[e1], cache.log_lambdas[e2],
+            cache.log_sigma_f[e1], cache.log_sigma_f[e2],
+            cache.mask, new_mean[e1], new_mean[e2])
+
+    idx = jnp.arange(ds)
+    cov_mat = jax.vmap(lambda i: jax.vmap(lambda j: pair_cov(i, j))(idx))(idx)
+    cov_mat = 0.5 * (cov_mat + cov_mat.T)               # enforce symmetry
+    cov_mat = cov_mat - jnp.diag(jnp.diagonal(cov_mat)) + jnp.diag(new_var)
+    return new_mean, cov_mat
+
+
+def rollout(cache: RolloutCache, x0: jax.Array, actions: jax.Array,
+            init_state_var: float = 1e-3, action_var: float = 1e-3,
+            full_cov: bool = False):
+    """H-step uncertain shooting rollout.
+
+    x0: (ds,) current state; actions: (H, da).
+    Returns (means, covs): (H+1, ds) and (H+1, ds, ds) — index 0 is the initial
+    state with covariance `init_state_var * I` (reference dynamics.py:76-79).
+    """
+    ds = cache.state_dim
+    dt = x0.dtype
+    cov0 = init_state_var * jnp.eye(ds, dtype=dt)
+
+    def body(carry, u_t):
+        mean, cov = carry
+        new_mean, new_cov = _step(cache, mean, cov, u_t, action_var, full_cov)
+        return (new_mean, new_cov), (new_mean, new_cov)
+
+    _, (means, covs) = jax.lax.scan(body, (x0, cov0), actions)
+    means = jnp.concatenate([x0[None], means], axis=0)
+    covs = jnp.concatenate([cov0[None], covs], axis=0)
+    return means, covs
+
+
+def rollout_from_gp(gp: GPState, state_dim: int, action_dim: int,
+                    x0: jax.Array, actions: jax.Array, **kw):
+    """Convenience: build the cache and roll out in one call."""
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    return rollout(cache, x0, actions, **kw)

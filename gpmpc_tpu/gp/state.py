@@ -1,0 +1,210 @@
+"""GPState — the immutable, padded, multi-output exact-GP pytree.
+
+TPU-first redesign of the reference's mutable `GaussianProcessRegression`
+(gpr.py:5-122): the growing (X_train, y_train) becomes a fixed-capacity padded
+buffer + mask (XLA needs static shapes), one *batched* state covers all E outputs
+that share inputs (the reference loops one GPR object per state dim,
+dynamics.py:33,166), and every derived matrix is Cholesky-based — the reference's
+explicit `torch.linalg.inv(Ky)` (gpr.py:171) and det-based marginal likelihood
+(gpr.py:246) are numerically unusable at scale and are deliberately not copied.
+
+Cached per fit (the reference recomputes beta = Ky^{-1} y inside every moment-prop
+call, uncertainty_prop.py:324-327 — a known inefficiency SURVEY.md flags):
+  chol  — lower Cholesky factor of masked Ky           (E, cap, cap)
+  kinv  — explicit Ky^{-1} (for moment-prop traces)    (E, cap, cap)
+  beta  — Ky^{-1} (y - f_nom(X))                       (E, cap)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gpmpc_tpu.gp.kernels import se_gram_batched
+from gpmpc_tpu.utils.linalg import chol_inverse, chol_solve, masked_psd_add
+
+
+@struct.dataclass
+class GPConfig:
+    """Static configuration (not traced)."""
+    capacity: int = struct.field(pytree_node=False, default=256)
+    x_dim: int = struct.field(pytree_node=False, default=1)
+    out_dim: int = struct.field(pytree_node=False, default=1)
+    jitter: float = struct.field(pytree_node=False, default=0.0)
+    # Nominal mean models: callable (N, x_dim) -> (N, out_dim); the GP fits the
+    # residual y - f_nom(x) (reference: gpr.py:225,249,306-309).
+    nominal_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+
+
+@struct.dataclass
+class GPState:
+    config: GPConfig = struct.field(pytree_node=False)
+    x: jax.Array          # (cap, x_dim) padded training inputs
+    y: jax.Array          # (E, cap) padded training targets (one row per output)
+    mask: jax.Array       # (cap,) bool validity
+    count: jax.Array      # () int32 number of valid rows
+    log_lambdas: jax.Array   # (E, x_dim)
+    log_sigma_f: jax.Array   # (E,)
+    log_sigma_n: jax.Array   # (E,)
+    chol: jax.Array       # (E, cap, cap)
+    kinv: jax.Array       # (E, cap, cap)
+    beta: jax.Array       # (E, cap)
+
+    @property
+    def capacity(self) -> int:
+        return self.config.capacity
+
+    @property
+    def lambdas(self) -> jax.Array:
+        return jnp.exp(self.log_lambdas)
+
+    @property
+    def sigma_f(self) -> jax.Array:
+        return jnp.exp(self.log_sigma_f)
+
+    @property
+    def sigma_n(self) -> jax.Array:
+        return jnp.exp(self.log_sigma_n)
+
+
+def residuals(state: GPState) -> jax.Array:
+    """(E, cap) masked targets minus nominal mean (zero where padded)."""
+    y = state.y
+    if state.config.nominal_fn is not None:
+        y = y - state.config.nominal_fn(state.x).T
+    return y * state.mask.astype(y.dtype)
+
+
+def _factorize(state: GPState) -> GPState:
+    """Rebuild chol / kinv / beta under current data + hyperparameters.
+
+    Mirrors build_Ky_inv_mat (gpr.py:159-171) but masked + Cholesky-based.
+    """
+    cfg = state.config
+    kf = se_gram_batched(state.x, state.x, state.log_lambdas, state.log_sigma_f)
+    diag_add = jnp.exp(2.0 * state.log_sigma_n) + cfg.jitter   # (E,)
+    ky = jax.vmap(masked_psd_add, in_axes=(0, None, 0))(kf, state.mask, diag_add)
+    chol = jnp.linalg.cholesky(ky)
+    kinv = jax.vmap(chol_inverse)(chol)
+    resid = residuals(state)
+    beta = jax.vmap(chol_solve)(chol, resid[..., None])[..., 0]
+    return state.replace(chol=chol, kinv=kinv, beta=beta)
+
+
+fit = _factorize
+
+
+def make_gp(config: GPConfig,
+            x: Optional[jax.Array] = None,
+            y: Optional[jax.Array] = None,
+            log_lambdas: Optional[jax.Array] = None,
+            log_sigma_f: Optional[jax.Array] = None,
+            log_sigma_n: Optional[jax.Array] = None,
+            dtype=jnp.float32) -> GPState:
+    """Create a GPState, optionally pre-loaded with (x, y) training data.
+
+    x: (n, x_dim); y: (n, out_dim) — loaded into the padded buffers.
+    Hyperparameters default to log(1) = 0 like the reference (gpr.py:38-40).
+    """
+    cap, d, e = config.capacity, config.x_dim, config.out_dim
+    xb = jnp.zeros((cap, d), dtype)
+    yb = jnp.zeros((e, cap), dtype)
+    mask = jnp.zeros((cap,), bool)
+    count = jnp.zeros((), jnp.int32)
+    if x is not None:
+        x = jnp.asarray(x, dtype).reshape(-1, d)
+        y = jnp.asarray(y, dtype).reshape(-1, e)
+        n = x.shape[0]
+        if n > cap:
+            raise ValueError(f"{n} training points exceed capacity {cap}")
+        xb = xb.at[:n].set(x)
+        yb = yb.at[:, :n].set(y.T)
+        mask = mask.at[:n].set(True)
+        count = jnp.asarray(n, jnp.int32)
+
+    def _hp(v, shape):
+        if v is None:
+            return jnp.zeros(shape, dtype)
+        return jnp.broadcast_to(jnp.asarray(v, dtype), shape)
+
+    state = GPState(
+        config=config, x=xb, y=yb, mask=mask, count=count,
+        log_lambdas=_hp(log_lambdas, (e, d)),
+        log_sigma_f=_hp(log_sigma_f, (e,)),
+        log_sigma_n=_hp(log_sigma_n, (e,)),
+        chol=jnp.zeros((e, cap, cap), dtype),
+        kinv=jnp.zeros((e, cap, cap), dtype),
+        beta=jnp.zeros((e, cap), dtype),
+    )
+    return _factorize(state)
+
+
+def append(state: GPState, x_new: jax.Array, y_new: jax.Array) -> GPState:
+    """Append observations and refit (jit/scan-safe: pure, static shapes).
+
+    x_new: (x_dim,) or (n, x_dim); y_new: (out_dim,) or (n, out_dim).
+    Reference semantics: gpr.py:90-122 (append then full rebuild — the reference
+    measured the rank-1 incremental inverse slower than a rebuild, gpr.py:139).
+    If the buffer is full the write is dropped (use `grow` host-side to repad).
+    """
+    cfg = state.config
+    x_new = jnp.asarray(x_new, state.x.dtype).reshape(-1, cfg.x_dim)
+    y_new = jnp.asarray(y_new, state.y.dtype).reshape(-1, cfg.out_dim)
+    n = x_new.shape[0]
+    idx = state.count + jnp.arange(n, dtype=jnp.int32)
+    ok = idx < cfg.capacity
+    idx = jnp.minimum(idx, cfg.capacity - 1)
+    # Masked dynamic writes: dropped rows overwrite slot cap-1 with its old value.
+    keep_x = jnp.where(ok[:, None], x_new, state.x[idx])
+    keep_y = jnp.where(ok[:, None], y_new, state.y[:, idx].T)
+    new_x = state.x.at[idx].set(keep_x)
+    new_y = state.y.at[:, idx].set(keep_y.T)
+    new_mask = state.mask.at[idx].set(jnp.where(ok, True, state.mask[idx]))
+    new_count = jnp.minimum(state.count + n, cfg.capacity).astype(jnp.int32)
+    state = state.replace(x=new_x, y=new_y, mask=new_mask, count=new_count)
+    return _factorize(state)
+
+
+# Alias used by scan bodies where `append` shadows a local.
+gp_append = append
+
+
+def grow(state: GPState, new_capacity: int) -> GPState:
+    """Host-side repad to a larger capacity (not jittable — changes shapes)."""
+    if new_capacity < state.config.capacity:
+        raise ValueError("new capacity must be >= current capacity")
+    cfg = state.config.replace(capacity=new_capacity)
+    pad = new_capacity - state.config.capacity
+    state = state.replace(
+        config=cfg,
+        x=jnp.pad(state.x, ((0, pad), (0, 0))),
+        y=jnp.pad(state.y, ((0, 0), (0, pad))),
+        mask=jnp.pad(state.mask, (0, pad)),
+        chol=jnp.zeros((cfg.out_dim, new_capacity, new_capacity), state.chol.dtype),
+        kinv=jnp.zeros((cfg.out_dim, new_capacity, new_capacity), state.kinv.dtype),
+        beta=jnp.zeros((cfg.out_dim, new_capacity), state.beta.dtype),
+    )
+    return _factorize(state)
+
+
+def set_hyperparams(state: GPState,
+                    lambdas=None, sigma_f=None, sigma_n=None,
+                    refit: bool = True) -> GPState:
+    """Set hyperparameters in natural (not log) space, like the reference setters
+    (gpr.py:51-88). Unlike the reference — which requires a manual
+    build_Ky_inv_mat() afterwards — this refits by default."""
+    e, d = state.log_lambdas.shape
+    dt = state.log_lambdas.dtype
+    if lambdas is not None:
+        state = state.replace(log_lambdas=jnp.broadcast_to(
+            jnp.log(jnp.asarray(lambdas, dt)), (e, d)))
+    if sigma_f is not None:
+        state = state.replace(log_sigma_f=jnp.broadcast_to(
+            jnp.log(jnp.asarray(sigma_f, dt)), (e,)))
+    if sigma_n is not None:
+        state = state.replace(log_sigma_n=jnp.broadcast_to(
+            jnp.log(jnp.asarray(sigma_n, dt)), (e,)))
+    return _factorize(state) if refit else state

@@ -1,0 +1,164 @@
+"""RiskSensitiveMPC — stateful convenience facade over the functional core.
+
+API parity with the reference controller (mpc.py:7-116, 269-330): constructor
+signature, `set_ub/set_lb/set_xref/set_uref`, a `dynamics` handle with
+`append_train_data`, the zero-trajectory guard while the GP has no data
+(mpc.py:69-70, 284-289), and the `last_traj` buffer whose first action feeds the
+R_delta rate cost (mpc.py:191-194). NumPy in/out at this layer; everything below
+is jitted JAX — one compiled on-device solve replaces the reference's
+IPOPT-callback ping-pong.
+
+For batched / sharded operation use the functional layer directly
+(gpmpc_tpu.parallel) — this class is the single-plant, online-learning path
+(the reference's only path).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpmpc_tpu.dynamics import build_rollout_cache, rollout
+from gpmpc_tpu.gp import state as gp_state
+from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
+from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
+
+
+@functools.partial(jax.jit, static_argnames=(
+    'state_dim', 'action_dim', 'solver_config', 'full_cov', 'has_r_delta'))
+def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
+           Q, R, R_delta, gamma, x_ref, u_ref, u_prev,
+           solver_config, full_cov, has_r_delta) -> SolveResult:
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    params = CostParams(Q=Q, R=R, gamma=gamma, x_ref=x_ref, u_ref=u_ref,
+                        R_delta=R_delta if has_r_delta else None,
+                        u_prev=u_prev)
+
+    def objective(u):
+        means, covs = rollout(cache, x0, u, full_cov=full_cov)
+        return risk_sensitive_cost(params, means, covs, u)
+
+    return solve_trajectory(objective, u_init, lb, ub, solver_config)
+
+
+class _DynamicsHandle:
+    """Mirrors the reference's `mpc.dynamics` surface (dynamics.py:39-60)."""
+
+    def __init__(self, owner: 'RiskSensitiveMPC'):
+        self._owner = owner
+
+    @property
+    def gp(self) -> gp_state.GPState:
+        return self._owner.gp
+
+    def append_train_data(self, state, action, next_state):
+        """state (ds,)|(n,ds), action (da,)|(n,da)|(n,), next_state same as state."""
+        state = np.atleast_2d(np.asarray(state, np.float64))
+        action = np.asarray(action, np.float64)
+        if action.ndim == 1 and state.shape[0] > 1:
+            action = action[:, None]
+        action = np.atleast_2d(action)
+        next_state = np.atleast_2d(np.asarray(next_state, np.float64))
+        x = np.concatenate([state, action], axis=1)
+        self._owner.gp = gp_state.append(self._owner.gp, x, next_state)
+
+
+class RiskSensitiveMPC:
+    def __init__(self, gamma, horizon, state_dim, input_dim, Q, R,
+                 R_delta=None, capacity: int = 512,
+                 solver: Optional[SolverConfig] = None,
+                 full_cov: bool = False, dtype=jnp.float32,
+                 jitter: float = 0.0):
+        self.gamma = float(gamma)
+        self.horizon = int(horizon)
+        self.state_dim = int(state_dim)
+        self.input_dim = int(input_dim)
+        self.dtype = dtype
+        self.full_cov = bool(full_cov)
+        self.solver_config = solver or SolverConfig()
+
+        self.Q = jnp.asarray(Q, dtype).reshape(state_dim, state_dim)
+        self.R = jnp.asarray(R, dtype).reshape(input_dim, input_dim)
+        self.R_delta = (None if R_delta is None
+                        else jnp.asarray(R_delta, dtype).reshape(input_dim, input_dim))
+
+        self.x_ref = jnp.zeros((state_dim,), dtype)
+        self.u_ref = jnp.zeros((input_dim,), dtype)
+        self.ub = np.full((input_dim,), 1e16)
+        self.lb = np.full((input_dim,), -1e16)
+
+        cfg = gp_state.GPConfig(capacity=capacity,
+                                x_dim=state_dim + input_dim,
+                                out_dim=state_dim, jitter=jitter)
+        self.gp = gp_state.make_gp(cfg, dtype=dtype)
+        self.dynamics = _DynamicsHandle(self)
+
+        # Last applied/solved trajectory; first action seeds the du rate cost
+        # (reference mpc.py:62, 192-194).
+        self.last_traj = np.zeros((self.horizon, self.input_dim))
+        self.last_result: Optional[SolveResult] = None
+
+    # -- reference-parity setters (mpc.py:72-116) --------------------------
+    def set_ub(self, ub: Sequence[float]):
+        assert len(ub) == self.input_dim
+        self.ub = np.asarray(ub, np.float64)
+
+    def set_lb(self, lb: Sequence[float]):
+        assert len(lb) == self.input_dim
+        self.lb = np.asarray(lb, np.float64)
+
+    def set_xref(self, x_ref):
+        assert len(x_ref) == self.state_dim
+        self.x_ref = jnp.asarray(x_ref, self.dtype)
+
+    def set_uref(self, u_ref):
+        assert len(u_ref) == self.input_dim
+        self.u_ref = jnp.asarray(u_ref, self.dtype)
+
+    # ----------------------------------------------------------------------
+    def set_gp_hyperparams(self, lambdas=None, sigma_f=None, sigma_n=None):
+        """Convenience the reference forces through per-GP setters + manual
+        rebuild (pretrain_pendulum.py:53-55)."""
+        self.gp = gp_state.set_hyperparams(self.gp, lambdas, sigma_f, sigma_n)
+
+    def cost(self, means, u, covs, x_ref=None, u_ref=None) -> float:
+        """Evaluate the risk-sensitive cost of a given trajectory (reference
+        `cost`/`cost_torch`, mpc.py:118-200)."""
+        params = CostParams(
+            Q=self.Q, R=self.R, gamma=jnp.asarray(self.gamma, self.dtype),
+            x_ref=self.x_ref if x_ref is None else jnp.asarray(x_ref, self.dtype),
+            u_ref=self.u_ref if u_ref is None else jnp.asarray(u_ref, self.dtype),
+            R_delta=self.R_delta,
+            u_prev=jnp.asarray(self.last_traj[0], self.dtype))
+        return float(risk_sensitive_cost(
+            params, jnp.asarray(means, self.dtype), jnp.asarray(covs, self.dtype),
+            jnp.asarray(u, self.dtype)))
+
+    def get_optimal_trajectory(self, curr_state) -> np.ndarray:
+        """Solve for the optimal action trajectory from `curr_state`.
+
+        Returns (horizon, input_dim) ndarray. Zero trajectory until the GP has
+        training data (reference mpc.py:284-289)."""
+        if int(self.gp.count) == 0:
+            return np.zeros((self.horizon, self.input_dim))
+
+        dt = self.dtype
+        u_init = jnp.zeros((self.horizon, self.input_dim), dt)  # cold start, mpc.py:292
+        result = _solve(
+            self.gp, self.state_dim, self.input_dim,
+            jnp.asarray(curr_state, dt).reshape(self.state_dim),
+            u_init,
+            jnp.asarray(self.lb, dt), jnp.asarray(self.ub, dt),
+            self.Q, self.R,
+            self.R_delta if self.R_delta is not None else jnp.zeros((), dt),
+            jnp.asarray(self.gamma, dt), self.x_ref, self.u_ref,
+            jnp.asarray(self.last_traj[0], dt),
+            self.solver_config, self.full_cov, self.R_delta is not None)
+        self.last_result = result
+        u = np.asarray(result.u, np.float64)
+        self.last_traj = u
+        return u

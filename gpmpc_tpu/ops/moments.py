@@ -1,0 +1,149 @@
+"""Analytic uncertain-input moment propagation (Girard / Quinonero-Candela).
+
+Given a GP posterior and a Gaussian input x* ~ N(u, S), these ops compute the
+exact mean / variance / cross-covariance of the predictive distribution — the
+math of the reference's tools/uncertainty_prop.py (eqs. 21/31 and A14 of
+Quinonero-Candela et al.), re-derived for TPU:
+
+  - every pairwise (N, N) structure is one MXU matmul plus fused elementwise exp,
+  - all small (d, d) determinants/inverses go through Cholesky/log-space
+    (reference uses np/torch `det`/`inv`: u_p.py:335, 377, 439),
+  - the input-independent factors (the Lambda-scaled pairwise-distance matrix,
+    beta, Ky^{-1} - beta beta^T) are hoisted into a per-solve cache so the
+    per-rollout-step work is minimal (the reference recomputes beta and the full
+    L matrix inside every objective evaluation: u_p.py:324-327, 380-397).
+
+Masking: padded training rows are excluded by zeroing their l-weights and
+L/Q-matrix rows/cols; `kinv` is exact identity on the padded block, and
+beta is zero there, so the trace terms see no padding contribution.
+
+Shapes (single output): u (d,), S (d, d), x (N, d), beta (N,), kinv (N, N),
+log_lambdas (d,), log_sigma_f (), mask (N,).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.utils.linalg import sq_dists
+
+
+def _logdet_psd(a: jax.Array) -> jax.Array:
+    chol = jnp.linalg.cholesky(a)
+    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
+
+
+def _solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
+    chol = jnp.linalg.cholesky(a)
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def mean_prop(u, S, x, beta, log_lambdas, log_sigma_f, mask):
+    """Predictive mean under Gaussian input (eq. 21/31; reference
+    mean_prop_torch u_p.py:296-338).
+
+    m = beta . l,   l_j = sigma_f^2 det(Lambda^{-1} S + I)^{-1/2}
+                          exp(-1/2 (u - x_j)^T (S + Lambda)^{-1} (u - x_j))
+
+    det(Lambda^{-1} S + I) is evaluated as det(S + Lambda) / det(Lambda) in log
+    space. Returns (m, l) — l is reused by variance_prop.
+    """
+    lam = jnp.exp(log_lambdas)
+    spl = S + jnp.diag(lam)
+    diff = u[None, :] - x                      # (N, d)
+    sol = _solve_psd(spl, diff.T)              # (d, N)
+    q = jnp.sum(diff.T * sol, axis=0)          # (N,)
+    log_det_corr = -0.5 * (_logdet_psd(spl) - jnp.sum(log_lambdas))
+    l = jnp.exp(2.0 * log_sigma_f + log_det_corr - 0.5 * q) * mask.astype(q.dtype)
+    return jnp.dot(beta, l), l
+
+
+class VarianceCache(NamedTuple):
+    """Input-independent part of the variance L-matrix contraction.
+
+    b_lam = (Ky^{-1} - beta beta^T) * exp(-1/4 d^2_Lambda(x_i, x_j)) * sigma_f^4,
+    masked — so per step  var = sigma_f^2 - det_part * sum(b_lam * A_part) - m^2.
+    """
+    b_lam: jax.Array    # (N, N)
+
+
+def make_variance_cache(x, beta, kinv, log_lambdas, log_sigma_f, mask) -> VarianceCache:
+    inv_sqrt_lam = jnp.exp(-0.5 * log_lambdas)
+    xs = x * inv_sqrt_lam
+    lam_part = jnp.exp(-0.25 * sq_dists(xs, xs))
+    m = mask.astype(x.dtype)
+    b = kinv - jnp.outer(beta, beta)
+    b_lam = b * lam_part * jnp.exp(4.0 * log_sigma_f) * (m[:, None] * m[None, :])
+    return VarianceCache(b_lam=b_lam)
+
+
+def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f,
+                         mean):
+    """Predictive variance under Gaussian input, using a precomputed cache.
+
+    var = sigma_f^2 - tr((Ky^{-1} - beta beta^T) L) - m^2   with
+    L_ij = sigma_f^4 det(2 Lambda^{-1} S + I)^{-1/2}
+           exp(-1/2 (u - xb_ij)^T (Lambda/2 + S)^{-1} (u - xb_ij))
+           exp(-1/4 (x_i - x_j)^T Lambda^{-1} (x_i - x_j)),   xb = (x_i + x_j)/2.
+
+    The first exponent expands as -1/8 (p_ii + 2 p_ij + p_jj) with
+    p_ij = (u - x_i)^T (Lambda/2 + S)^{-1} (u - x_j) — one (N, N) MXU matmul
+    (reference derives the same algebra at u_p.py:380-389).
+    """
+    lam = jnp.exp(log_lambdas)
+    hls = jnp.diag(lam / 2.0) + S
+    diff = u[None, :] - x                      # (N, d)
+    sol = _solve_psd(hls, diff.T)              # (d, N)
+    p = diff @ sol                             # (N, N) — MXU
+    pd = jnp.diagonal(p)
+    a_part = jnp.exp(-0.125 * (pd[:, None] + 2.0 * p + pd[None, :]))
+    # det(2 Lambda^{-1} S + I) = det(Lambda/2 + S) / det(Lambda/2)
+    log_det_part = -0.5 * (_logdet_psd(hls) - jnp.sum(log_lambdas - jnp.log(2.0)))
+    trace_term = jnp.exp(log_det_part) * jnp.sum(cache.b_lam * a_part)
+    return jnp.exp(2.0 * log_sigma_f) - trace_term - mean ** 2
+
+
+def variance_prop(u, S, x, beta, kinv, log_lambdas, log_sigma_f, mask, mean):
+    """Standalone variance (builds the cache inline). Reference:
+    variance_prop_torch u_p.py:341-399."""
+    cache = make_variance_cache(x, beta, kinv, log_lambdas, log_sigma_f, mask)
+    return variance_prop_cached(u, S, x, cache, log_lambdas, log_sigma_f, mean)
+
+
+def covariance_prop(u, S, x, beta1, beta2, log_lambdas1, log_lambdas2,
+                    log_sigma_f1, log_sigma_f2, mask, mean1, mean2):
+    """Cross-covariance of two GP outputs under a shared Gaussian input
+    (eq. A14; reference covariance_prop_torch u_p.py:402-465).
+
+    cov = beta1^T Qt beta2 - m1 m2
+    Qt_ij = k1(x_i, u) k2(x_j, u) det(S Lam* + I)^{-1/2}
+            exp(1/2 (z1_i + z2_j)^T A (z1_i + z2_j))
+    with Lam* = Lambda1^{-1} + Lambda2^{-1}, z_k = Lambda_k^{-1} (x - u),
+    A = (S Lam* + I)^{-1} S  (symmetric by the push-through identity).
+    """
+    lam1_inv = jnp.exp(-log_lambdas1)
+    lam2_inv = jnp.exp(-log_lambdas2)
+    d = u.shape[0]
+    diff = x - u[None, :]                      # (N, d)
+    z1 = diff * lam1_inv                       # (N, d)
+    z2 = diff * lam2_inv
+    # r = S @ diag(lam1_inv + lam2_inv) + I; S * (row vector) scales columns.
+    r = S * (lam1_inv + lam2_inv)[None, :] + jnp.eye(d, dtype=u.dtype)
+    a = jnp.linalg.solve(r, S)                 # (d, d), symmetric
+    _, logabsdet = jnp.linalg.slogdet(r)
+    det_part = jnp.exp(-0.5 * logabsdet)
+
+    q1 = jnp.sum((z1 @ a) * z1, axis=1)        # (N,)
+    q2 = jnp.sum((z2 @ a) * z2, axis=1)
+    cross = z1 @ a @ z2.T                      # (N, N) — MXU
+    exp_part = jnp.exp(0.5 * (q1[:, None] + 2.0 * cross + q2[None, :]))
+
+    k1 = jnp.exp(2.0 * log_sigma_f1 - 0.5 * jnp.sum(diff * diff * lam1_inv, axis=1))
+    k2 = jnp.exp(2.0 * log_sigma_f2 - 0.5 * jnp.sum(diff * diff * lam2_inv, axis=1))
+    m = mask.astype(u.dtype)
+    qt = det_part * (k1 * m)[:, None] * (k2 * m)[None, :] * exp_part
+    return beta1 @ qt @ beta2 - mean1 * mean2

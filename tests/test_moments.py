@@ -1,0 +1,215 @@
+"""Moment-propagation tests: NumPy loop oracles at 1e-7, Monte-Carlo validation
+at the reference's tolerances (mean 2%, variance 5%, covariance 2% —
+test_uncertainty_prop.py:69,120,180), sigma_f != 1 handling, tight-input limit,
+and padding invariance."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import oracles
+from gpmpc_tpu.gp import state as gs
+from gpmpc_tpu.gp.exact import predict
+from gpmpc_tpu.ops import moments
+
+RNG = np.random.default_rng(7)
+
+
+def _setup(n=20, d=3, e=2, lambdas=(1.0, 2.0, 0.5), sigma_f=1.0, sigma_n=0.1,
+           cap=None):
+    x = RNG.uniform(-2, 2, (n, d))
+    y = RNG.normal(size=(n, e))
+    cfg = gs.GPConfig(capacity=cap or n, x_dim=d, out_dim=e)
+    gp = gs.make_gp(cfg, x, y, log_lambdas=np.log(lambdas),
+                    log_sigma_f=np.log(sigma_f), log_sigma_n=np.log(sigma_n),
+                    dtype=jnp.float64)
+    u = RNG.uniform(-1, 1, d)
+    a = RNG.normal(size=(d, d)) * 0.2
+    S = a @ a.T + 0.05 * np.eye(d)
+    return gp, x, y, np.asarray(lambdas, float), sigma_f, sigma_n, u, S
+
+
+class TestMeanProp:
+    def test_vs_loop_oracle(self):
+        gp, x, y, lam, sf, sn, u, S = _setup(sigma_f=1.7)
+        for e in range(2):
+            m, l = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                     gp.beta[e], gp.log_lambdas[e],
+                                     gp.log_sigma_f[e], gp.mask)
+            beta = np.asarray(gp.beta[e])[:len(x)]
+            m_ref, l_ref = oracles.mean_prop(u, S, x, beta, lam, sf)
+            np.testing.assert_allclose(float(m), m_ref, atol=1e-9)
+            np.testing.assert_allclose(np.asarray(l)[:len(x)], l_ref, atol=1e-9)
+
+    def test_padding_invariance(self):
+        gp, x, y, lam, sf, sn, u, S = _setup(cap=20)
+        gp_big, *_ = _setup(cap=48)
+        # Rebuild both from identical data for a strict comparison.
+        cfg_s = gs.GPConfig(capacity=20, x_dim=3, out_dim=2)
+        cfg_l = gs.GPConfig(capacity=48, x_dim=3, out_dim=2)
+        gp_s = gs.make_gp(cfg_s, x, y, dtype=jnp.float64)
+        gp_l = gs.make_gp(cfg_l, x, y, dtype=jnp.float64)
+        m_s, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp_s.x,
+                                   gp_s.beta[0], gp_s.log_lambdas[0],
+                                   gp_s.log_sigma_f[0], gp_s.mask)
+        m_l, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp_l.x,
+                                   gp_l.beta[0], gp_l.log_lambdas[0],
+                                   gp_l.log_sigma_f[0], gp_l.mask)
+        np.testing.assert_allclose(float(m_s), float(m_l), atol=1e-10)
+
+    def test_tight_input_equals_predict(self):
+        gp, x, y, lam, sf, sn, u, S = _setup(sigma_f=2.0)
+        tight = 1e-10 * np.eye(3)
+        m, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(tight), gp.x,
+                                 gp.beta[0], gp.log_lambdas[0],
+                                 gp.log_sigma_f[0], gp.mask)
+        mean, _ = predict(gp, jnp.asarray(u))
+        np.testing.assert_allclose(float(m), float(mean[0]), rtol=1e-6)
+
+
+class TestVarianceProp:
+    def test_vs_loop_oracle(self):
+        gp, x, y, lam, sf, sn, u, S = _setup(sigma_f=1.3)
+        for e in range(2):
+            m, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                     gp.beta[e], gp.log_lambdas[e],
+                                     gp.log_sigma_f[e], gp.mask)
+            v = moments.variance_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                      gp.beta[e], gp.kinv[e],
+                                      gp.log_lambdas[e], gp.log_sigma_f[e],
+                                      gp.mask, m)
+            ky, ky_inv, beta = oracles.gp_fit(x, y[:, e], lam, sf, sn)
+            v_ref, _ = oracles.variance_prop(u, S, x, beta, ky_inv, lam, sf)
+            np.testing.assert_allclose(float(v), v_ref, atol=1e-9)
+
+    def test_cached_equals_standalone(self):
+        gp, x, y, lam, sf, sn, u, S = _setup()
+        cache = moments.make_variance_cache(gp.x, gp.beta[0], gp.kinv[0],
+                                            gp.log_lambdas[0], gp.log_sigma_f[0],
+                                            gp.mask)
+        m, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                 gp.beta[0], gp.log_lambdas[0],
+                                 gp.log_sigma_f[0], gp.mask)
+        v1 = moments.variance_prop_cached(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                          cache, gp.log_lambdas[0],
+                                          gp.log_sigma_f[0], m)
+        v2 = moments.variance_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                   gp.beta[0], gp.kinv[0], gp.log_lambdas[0],
+                                   gp.log_sigma_f[0], gp.mask, m)
+        np.testing.assert_allclose(float(v1), float(v2), atol=1e-12)
+
+
+class TestCovarianceProp:
+    def test_vs_loop_oracle(self):
+        gp, x, y, lam, sf, sn, u, S = _setup(sigma_f=1.0)
+        lam2 = lam * 1.5
+        gp = gs.set_hyperparams(gp, refit=True)
+        # Give output 1 different lengthscales to exercise the cross terms.
+        log_lam = np.stack([np.log(lam), np.log(lam2)])
+        gp = gp.replace(log_lambdas=jnp.asarray(log_lam))
+        gp = gs.fit(gp)
+
+        m1, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                  gp.beta[0], gp.log_lambdas[0],
+                                  gp.log_sigma_f[0], gp.mask)
+        m2, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                  gp.beta[1], gp.log_lambdas[1],
+                                  gp.log_sigma_f[1], gp.mask)
+        c = moments.covariance_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                    gp.beta[0], gp.beta[1],
+                                    gp.log_lambdas[0], gp.log_lambdas[1],
+                                    gp.log_sigma_f[0], gp.log_sigma_f[1],
+                                    gp.mask, m1, m2)
+        b1 = np.asarray(gp.beta[0])[:len(x)]
+        b2 = np.asarray(gp.beta[1])[:len(x)]
+        c_ref = oracles.covariance_prop(u, S, x, b1, b2, lam, lam2, 1.0, 1.0,
+                                        float(m1), float(m2))
+        np.testing.assert_allclose(float(c), c_ref, atol=1e-9)
+
+
+class TestMonteCarlo:
+    """Analytic moments vs MC through the true GP predictive distribution —
+    the reference's distinctive oracle (test_uncertainty_prop.py:20-180)."""
+
+    def _mc(self, x, y, lam, sf, sn, u, S, T=10000, seed=0):
+        rng = np.random.default_rng(seed)
+        ky, ky_inv, beta = oracles.gp_fit(x, y, lam, sf, sn)
+        xs = rng.multivariate_normal(u, S, size=T)
+        ks = oracles.gram(xs, x, lam, sf)        # (T, N)
+        mus = ks @ beta
+        sig_sq = sf ** 2 - np.einsum('tn,nm,tm->t', ks, ky_inv, ks)
+        mean = mus.mean()
+        var = sig_sq.mean() + mus.var()
+        return mean, var, mus, np.sqrt(np.maximum(sig_sq, 0)), rng
+
+    def test_mean_and_variance_mc(self):
+        n, d = 15, 2
+        x = RNG.uniform(-2, 2, (n, d))
+        y = np.sin(x[:, 0]) + 0.3 * x[:, 1]
+        lam = np.array([1.0, 1.5])
+        sf, sn = 1.2, 0.05
+        u = np.array([0.3, -0.2])
+        S = np.array([[0.15, 0.03], [0.03, 0.1]])
+
+        mc_mean, mc_var, *_ = self._mc(x, y, lam, sf, sn, u, S)
+
+        cfg = gs.GPConfig(capacity=16, x_dim=2, out_dim=1)
+        gp = gs.make_gp(cfg, x, y[:, None], log_lambdas=np.log(lam),
+                        log_sigma_f=np.log(sf), log_sigma_n=np.log(sn),
+                        dtype=jnp.float64)
+        m, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                 gp.beta[0], gp.log_lambdas[0],
+                                 gp.log_sigma_f[0], gp.mask)
+        v = moments.variance_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                  gp.beta[0], gp.kinv[0], gp.log_lambdas[0],
+                                  gp.log_sigma_f[0], gp.mask, m)
+        assert abs(float(m) - mc_mean) / abs(mc_mean) < 0.02
+        assert abs(float(v) - mc_var) / abs(mc_var) < 0.05
+
+    def test_covariance_mc(self):
+        n, d = 15, 2
+        x = RNG.uniform(-2, 2, (n, d))
+        y1 = np.sin(x[:, 0]) + 0.3 * x[:, 1]
+        y2 = np.cos(x[:, 1]) - 0.2 * x[:, 0]
+        lam1 = np.array([1.0, 1.5])
+        lam2 = np.array([0.8, 1.2])
+        sf, sn = 1.0, 0.05
+        u = np.array([0.3, -0.2])
+        S = np.array([[0.15, 0.03], [0.03, 0.1]])
+
+        rng = np.random.default_rng(3)
+        T = 10000
+        xs = rng.multivariate_normal(u, S, size=T)
+        _, ki1, b1 = oracles.gp_fit(x, y1, lam1, sf, sn)
+        _, ki2, b2 = oracles.gp_fit(x, y2, lam2, sf, sn)
+        k1 = oracles.gram(xs, x, lam1, sf)
+        k2 = oracles.gram(xs, x, lam2, sf)
+        mu1 = k1 @ b1
+        mu2 = k2 @ b2
+        s1 = np.sqrt(np.maximum(sf ** 2 - np.einsum('tn,nm,tm->t', k1, ki1, k1), 0))
+        s2 = np.sqrt(np.maximum(sf ** 2 - np.einsum('tn,nm,tm->t', k2, ki2, k2), 0))
+        f1 = rng.normal(mu1, s1)
+        f2 = rng.normal(mu2, s2)
+        mc_cov = np.cov(f1, f2)[0, 1]
+
+        m1_ref, _ = oracles.mean_prop(u, S, x, b1, lam1, sf)
+        m2_ref, _ = oracles.mean_prop(u, S, x, b2, lam2, sf)
+        c = oracles.covariance_prop(u, S, x, b1, b2, lam1, lam2, sf, sf,
+                                    m1_ref, m2_ref)
+        cfg = gs.GPConfig(capacity=16, x_dim=2, out_dim=2)
+        gp = gs.make_gp(cfg, x, np.stack([y1, y2], 1),
+                        log_lambdas=np.stack([np.log(lam1), np.log(lam2)]),
+                        log_sigma_f=np.log(sf), log_sigma_n=np.log(sn),
+                        dtype=jnp.float64)
+        m1, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                  gp.beta[0], gp.log_lambdas[0],
+                                  gp.log_sigma_f[0], gp.mask)
+        m2, _ = moments.mean_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                  gp.beta[1], gp.log_lambdas[1],
+                                  gp.log_sigma_f[1], gp.mask)
+        cj = moments.covariance_prop(jnp.asarray(u), jnp.asarray(S), gp.x,
+                                     gp.beta[0], gp.beta[1],
+                                     gp.log_lambdas[0], gp.log_lambdas[1],
+                                     gp.log_sigma_f[0], gp.log_sigma_f[1],
+                                     gp.mask, m1, m2)
+        np.testing.assert_allclose(float(cj), c, atol=1e-9)   # jnp == oracle
+        assert abs(float(cj) - mc_cov) / max(abs(mc_cov), 1e-3) < 0.15
