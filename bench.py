@@ -1,0 +1,85 @@
+"""Headline benchmark: concurrent GP-MPC solves/s on one chip.
+
+Workload (BASELINE.json north star / config 1-3 scale): B independent
+risk-sensitive GP-MPC trajectory optimizations against a shared exact-GP
+dynamics posterior — pendulum dimensions (ds=2, da=1), N=200 training points
+(capacity 256), horizon H=20, a fixed 100-iteration projected-Adam budget per
+solve (tol=0 disables early exit so the measured work is deterministic; the
+reference caps IPOPT at 300 iterations with ~0.3 s/iteration-scale rollouts).
+
+Prints ONE JSON line:
+  {"metric": "gpmpc_solves_per_s_per_chip", "value": N, "unit": "solves/s",
+   "vs_baseline": r}
+vs_baseline is the ratio against the BASELINE.json target of 1000 concurrent
+solves/s per host (the reference publishes no absolute numbers — SURVEY.md §6).
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.gp import state as gs
+    from gpmpc_tpu.mpc.cost import CostParams
+    from gpmpc_tpu.mpc.solver import SolverConfig
+    from gpmpc_tpu.parallel import batch as pbatch
+
+    dtype = jnp.float32
+    ds, da = 2, 1
+    n_train, capacity = 200, 256
+    horizon = 20
+    b = 256
+    solver = SolverConfig(max_iters=100, tol=0.0)
+
+    rng = np.random.default_rng(0)
+    states = rng.uniform(-np.pi, np.pi, (n_train, ds))
+    actions = rng.uniform(-5, 5, (n_train, da))
+    next_states = states + 0.05 * np.concatenate(
+        [states[:, 1:], 15 * np.sin(states[:, :1]) + 3 * actions], axis=1)
+    x = np.concatenate([states, actions], axis=1)
+    cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
+    # f32-friendly conditioning (sigma_n = 0.1): the hot path runs in f32; the
+    # reference's sigma_n = 1e-5 configs require x64 (see gp/state.py).
+    gp = gs.make_gp(cfg, x, next_states, log_lambdas=np.log([4.0] * (ds + da)),
+                    log_sigma_f=0.0, log_sigma_n=np.log(0.1), dtype=dtype)
+
+    x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype)
+    gammas = jnp.asarray(np.linspace(-0.5, 0.5, b), dtype)
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype),
+                        gamma=gammas,
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+
+    @jax.jit
+    def run(gp, x0s, params):
+        res = pbatch.solve_batch(gp, ds, da, x0s, params, horizon, -5.0, 5.0,
+                                 solver)
+        return res.u, res.cost
+
+    u, c = run(gp, x0s, params)
+    jax.block_until_ready((u, c))          # compile + warmup
+
+    n_rep = 3
+    t0 = time.perf_counter()
+    for _ in range(n_rep):
+        u, c = run(gp, x0s, params)
+    jax.block_until_ready((u, c))
+    dt = (time.perf_counter() - t0) / n_rep
+
+    assert np.all(np.isfinite(np.asarray(c))), "non-finite solve costs"
+    solves_per_s = b / dt
+    print(json.dumps({
+        "metric": "gpmpc_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1000.0, 3),
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -57,8 +57,13 @@ def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> Rollout
 
 
 def _step(cache: RolloutCache, mean, cov, action, action_var: float,
-          full_cov: bool):
-    """One moment-matching step: (mean, cov, u_t) -> (next_mean, next_cov)."""
+          full_cov: bool, delta: bool):
+    """One moment-matching step: (mean, cov, u_t) -> (next_mean, next_cov).
+
+    delta=True treats the GP outputs as state increments (x' = x + f(x, u)) and
+    adds the exact input-output covariance terms — the uncertainty-propagation
+    formulation PILCO uses; the reference only supports raw next-state targets
+    and drops the correlation (dynamics.py:184-188)."""
     ds, da = cache.state_dim, cache.action_dim
     dt = mean.dtype
     joint_mean = jnp.concatenate([mean, action])
@@ -68,18 +73,39 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
 
     mean_fn = jax.vmap(moments.mean_prop,
                        in_axes=(None, None, None, 0, 0, 0, None))
-    new_mean, _ = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
-                          cache.log_lambdas, cache.log_sigma_f, cache.mask)
+    gp_mean, l = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
+                         cache.log_lambdas, cache.log_sigma_f, cache.mask)
 
     var_fn = jax.vmap(
         moments.variance_prop_cached,
         in_axes=(None, None, None, moments.VarianceCache(0), 0, 0, 0))
-    new_var = var_fn(joint_mean, joint_cov, cache.x,
-                     moments.VarianceCache(cache.b_lam),
-                     cache.log_lambdas, cache.log_sigma_f, new_mean)
+    gp_var = var_fn(joint_mean, joint_cov, cache.x,
+                    moments.VarianceCache(cache.b_lam),
+                    cache.log_lambdas, cache.log_sigma_f, gp_mean)
+
+    if delta:
+        io_fn = jax.vmap(moments.input_output_cov,
+                         in_axes=(None, None, None, 0, 0, 0))
+        c_io = io_fn(joint_mean, joint_cov, cache.x, cache.beta, l,
+                     cache.log_lambdas)               # (E, ds+da)
+        c_state = c_io[:, :ds].T                      # (ds, E) = cov(x_t, delta)
+        new_mean = mean + gp_mean
+    else:
+        new_mean = gp_mean
+
+    # Moment matching can produce (slightly) negative variances — analytically
+    # when the input distribution is wide relative to the lengthscales, and
+    # numerically in f32 at small sigma_n. A negative diagonal poisons the next
+    # step's (S + Lambda) Cholesky, so clamp to a small positive floor (the
+    # reference has no guard and NaNs instead).
+    min_var = 1e-8
 
     if not full_cov:
-        return new_mean, jnp.diag(new_var)
+        if delta:
+            new_var = jnp.diagonal(cov) + gp_var + 2.0 * jnp.diagonal(c_state)
+        else:
+            new_var = gp_var
+        return new_mean, jnp.diag(jnp.maximum(new_var, min_var))
 
     # Full cross-output covariance (eq. A14) on the strictly-lower triangle,
     # mirrored; diagonal stays the exact variances.
@@ -89,23 +115,29 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
             cache.beta[e1], cache.beta[e2],
             cache.log_lambdas[e1], cache.log_lambdas[e2],
             cache.log_sigma_f[e1], cache.log_sigma_f[e2],
-            cache.mask, new_mean[e1], new_mean[e2])
+            cache.mask, gp_mean[e1], gp_mean[e2])
 
     idx = jnp.arange(ds)
     cov_mat = jax.vmap(lambda i: jax.vmap(lambda j: pair_cov(i, j))(idx))(idx)
     cov_mat = 0.5 * (cov_mat + cov_mat.T)               # enforce symmetry
-    cov_mat = cov_mat - jnp.diag(jnp.diagonal(cov_mat)) + jnp.diag(new_var)
+    cov_mat = cov_mat - jnp.diag(jnp.diagonal(cov_mat)) + jnp.diag(gp_var)
+    if delta:
+        cov_mat = cov + cov_mat + c_state + c_state.T
+    # PSD projection (eigenvalue clip) — d is tiny, so this is cheap.
+    w, v = jnp.linalg.eigh(cov_mat)
+    cov_mat = (v * jnp.maximum(w, min_var)[None, :]) @ v.T
     return new_mean, cov_mat
 
 
 def rollout(cache: RolloutCache, x0: jax.Array, actions: jax.Array,
             init_state_var: float = 1e-3, action_var: float = 1e-3,
-            full_cov: bool = False):
+            full_cov: bool = False, delta: bool = False):
     """H-step uncertain shooting rollout.
 
     x0: (ds,) current state; actions: (H, da).
     Returns (means, covs): (H+1, ds) and (H+1, ds, ds) — index 0 is the initial
     state with covariance `init_state_var * I` (reference dynamics.py:76-79).
+    delta=True: the GP models state increments (see _step).
     """
     ds = cache.state_dim
     dt = x0.dtype
@@ -113,7 +145,8 @@ def rollout(cache: RolloutCache, x0: jax.Array, actions: jax.Array,
 
     def body(carry, u_t):
         mean, cov = carry
-        new_mean, new_cov = _step(cache, mean, cov, u_t, action_var, full_cov)
+        new_mean, new_cov = _step(cache, mean, cov, u_t, action_var, full_cov,
+                                  delta)
         return (new_mean, new_cov), (new_mean, new_cov)
 
     _, (means, covs) = jax.lax.scan(body, (x0, cov0), actions)

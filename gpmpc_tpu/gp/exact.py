@@ -18,9 +18,10 @@ import jax.numpy as jnp
 
 from gpmpc_tpu.gp.kernels import se_gram_batched
 from gpmpc_tpu.gp.state import GPState, residuals
-from gpmpc_tpu.utils.linalg import chol_logdet, chol_solve
+from gpmpc_tpu.utils.linalg import f32_matmul_precision
 
 
+@f32_matmul_precision
 def predict(state: GPState, x_pred: jax.Array, full_cov: bool = False,
             include_noise: bool = False):
     """Posterior mean (and covariance) at test points.
@@ -28,8 +29,7 @@ def predict(state: GPState, x_pred: jax.Array, full_cov: bool = False,
     x_pred: (P, x_dim) or (x_dim,).
     Returns (mean, cov):
       mean: (P, E)
-      cov:  None            if full_cov=False was requested via cov=None? no —
-            (E, P, P)       if full_cov else (P, E) marginal variances.
+      cov:  (E, P, P) if full_cov else (P, E) marginal variances.
     include_noise=True adds sigma_n^2 to the diagonal (predicting targets y, not
     latent f — reference `targets=True`, gpr.py:330).
     """
@@ -44,8 +44,8 @@ def predict(state: GPState, x_pred: jax.Array, full_cov: bool = False,
     if state.config.nominal_fn is not None:
         mean = mean + state.config.nominal_fn(xp)
 
-    # v = chol^{-1} k_star^T per output: cov = k** - v^T v
-    sol = jax.vmap(lambda c, k: chol_solve(c, k.T))(state.chol, k_star)  # (E, cap, P)
+    # sol = Ky^{-1} k_star^T per output (regularized inverse cached at fit).
+    sol = jnp.einsum('enm,epm->enp', state.kinv, k_star)   # (E, cap, P)
     if full_cov:
         k_pp = se_gram_batched(xp, xp, state.log_lambdas, state.log_sigma_f)
         cov = k_pp - jnp.einsum('epn,enq->epq', k_star, sol)
@@ -73,6 +73,5 @@ def log_marginal_likelihood(state: GPState) -> jax.Array:
     form and the log-det by construction of the masked factorization)."""
     resid = residuals(state)                     # (E, cap), zero where padded
     quad = jnp.sum(resid * state.beta, axis=-1)  # (E,)
-    logdet = chol_logdet(state.chol)             # (E,) padded rows add log 1 = 0
     n = state.count.astype(resid.dtype)
-    return -0.5 * quad - 0.5 * logdet - 0.5 * n * math.log(2.0 * math.pi)
+    return -0.5 * quad - 0.5 * state.logdet - 0.5 * n * math.log(2.0 * math.pi)

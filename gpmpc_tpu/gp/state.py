@@ -10,9 +10,14 @@ explicit `torch.linalg.inv(Ky)` (gpr.py:171) and det-based marginal likelihood
 
 Cached per fit (the reference recomputes beta = Ky^{-1} y inside every moment-prop
 call, uncertainty_prop.py:324-327 — a known inefficiency SURVEY.md flags):
-  chol  — lower Cholesky factor of masked Ky           (E, cap, cap)
-  kinv  — explicit Ky^{-1} (for moment-prop traces)    (E, cap, cap)
-  beta  — Ky^{-1} (y - f_nom(X))                       (E, cap)
+  kinv   — regularized Ky^{-1} (moment-prop traces, prediction)  (E, cap, cap)
+  beta   — Ky^{-1} (y - f_nom(X))                                (E, cap)
+  logdet — log det Ky on the valid block (marginal likelihood)   (E,)
+The factorization is adaptive-jitter Cholesky at forced true-f32 matmul
+precision (TPU defaults f32 matmuls to bf16 passes, which breaks GP linear
+algebra); a spectrum-clipped eigh backend is available. The reference's most
+extreme conditioning (sigma_n ~ 1e-5 with sigma_f ~ 3) still needs x64 — which
+TPU supports — because no f32 algorithm can resolve that spectrum.
 """
 
 from __future__ import annotations
@@ -24,7 +29,8 @@ import jax.numpy as jnp
 from flax import struct
 
 from gpmpc_tpu.gp.kernels import se_gram_batched
-from gpmpc_tpu.utils.linalg import chol_inverse, chol_solve, masked_psd_add
+from gpmpc_tpu.utils.linalg import (chol_inverse, chol_solve,
+                                     f32_matmul_precision, masked_psd_add)
 
 
 @struct.dataclass
@@ -34,6 +40,13 @@ class GPConfig:
     x_dim: int = struct.field(pytree_node=False, default=1)
     out_dim: int = struct.field(pytree_node=False, default=1)
     jitter: float = struct.field(pytree_node=False, default=0.0)
+    # Factorization backend: 'chol' (default — adaptive-jitter Cholesky; fast on
+    # TPU, never NaNs) or 'eigh' (spectrum-clipped eigendecomposition; robust
+    # fallback, but TPU eigh is slow — prefer it on CPU only). For the
+    # reference's severely ill-conditioned configs (sigma_n ~ 1e-5) run under
+    # jax.enable_x64: f64 is supported on TPU and the factorization is not on
+    # the per-iteration hot path.
+    solve_backend: str = struct.field(pytree_node=False, default='chol')
     # Nominal mean models: callable (N, x_dim) -> (N, out_dim); the GP fits the
     # residual y - f_nom(x) (reference: gpr.py:225,249,306-309).
     nominal_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
@@ -49,9 +62,10 @@ class GPState:
     log_lambdas: jax.Array   # (E, x_dim)
     log_sigma_f: jax.Array   # (E,)
     log_sigma_n: jax.Array   # (E,)
-    chol: jax.Array       # (E, cap, cap)
-    kinv: jax.Array       # (E, cap, cap)
-    beta: jax.Array       # (E, cap)
+    kinv: jax.Array       # (E, cap, cap) regularized Ky^{-1}
+    beta: jax.Array       # (E, cap) Ky^{-1} (y - f_nom(x)), masked
+    logdet: jax.Array     # (E,) log det Ky (valid block)
+    jitter_used: jax.Array  # (E,) diagonal jitter the factorization needed
 
     @property
     def capacity(self) -> int:
@@ -78,20 +92,95 @@ def residuals(state: GPState) -> jax.Array:
     return y * state.mask.astype(y.dtype)
 
 
-def _factorize(state: GPState) -> GPState:
-    """Rebuild chol / kinv / beta under current data + hyperparameters.
+def _find_jitter(ky_const, diag_mask, base_jitter, eps0):
+    """Escalating-jitter search on a stop-gradient'd matrix: the selected jitter
+    is control flow, not something to differentiate through (reverse-mode AD
+    cannot cross a dynamic while_loop anyway)."""
+    def ok(c):
+        return jnp.all(jnp.isfinite(jnp.diagonal(c)))
 
-    Mirrors build_Ky_inv_mat (gpr.py:159-171) but masked + Cholesky-based.
-    """
+    def cond(carry):
+        chol, j, attempts = carry
+        return jnp.logical_and(jnp.logical_not(ok(chol)), attempts < 8)
+
+    def body(carry):
+        _, j, attempts = carry
+        j_new = jnp.where(j == 0.0, eps0, j * 10.0)
+        chol = jnp.linalg.cholesky(ky_const + j_new * diag_mask)
+        return chol, j_new, attempts + 1
+
+    chol0 = jnp.linalg.cholesky(ky_const + base_jitter * diag_mask)
+    _, j, _ = jax.lax.while_loop(
+        cond, body, (chol0, base_jitter, jnp.zeros((), jnp.int32)))
+    return j
+
+
+def _solve_chol(ky, mask, resid, base_jitter):
+    """Cholesky factorization path with escalating-jitter retry (classic GPML
+    safeguard). The jitter search runs on stop_gradient(ky); the final
+    factorization is a single differentiable Cholesky at the found jitter.
+    Returns (kinv, beta, logdet, jitter_used)."""
+    dt = ky.dtype
+    m = mask.astype(dt)
+    diag_mask = jnp.diag(m)
+    mean_diag = jnp.sum(jnp.diagonal(ky) * m) / jnp.maximum(jnp.sum(m), 1.0)
+    eps0 = jnp.asarray(10.0 * jnp.finfo(dt).eps, dt) * mean_diag
+
+    j = _find_jitter(jax.lax.stop_gradient(ky), diag_mask,
+                     jnp.asarray(base_jitter, dt),
+                     jax.lax.stop_gradient(eps0))
+    chol = jnp.linalg.cholesky(ky + j * diag_mask)
+    kinv = chol_inverse(chol)
+    beta = chol_solve(chol, resid[:, None])[:, 0]
+    logdet = 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol)))  # padded diag=1 -> 0
+    return kinv, beta, logdet, j
+
+
+def _solve_eigh(ky, mask, resid, base_jitter):
+    """Eigendecomposition path with spectrum clipping — the f32/TPU-robust
+    route. Cholesky of a dense SE Gram matrix is hopeless in f32 at the
+    reference's hyperparameters (SURVEY.md hard part 1: sigma_n = 1e-5 configs
+    put cond(Ky) far beyond 1/eps_f32; even LAPACK f32 `potrf` fails at jitter
+    1e-3 on the PR1 pendulum Gram matrix). eigh never fails; clipping the
+    spectrum at ~N*eps*w_max is the principled pseudo-inverse regularization —
+    identical to the exact posterior in well-conditioned directions, and it
+    suppresses exactly the noise-dominated directions f64 Cholesky resolves.
+
+    Returns (kinv, beta, logdet, clip_floor)."""
+    dt = ky.dtype
+    n = ky.shape[-1]
+    w, v = jnp.linalg.eigh(ky)
+    w_max = w[-1]
+    floor = jnp.maximum(jnp.asarray(base_jitter, dt),
+                        n * jnp.finfo(dt).eps * w_max)
+    w_clip = jnp.maximum(w, floor)
+    w_inv = 1.0 / w_clip
+    kinv = (v * w_inv[None, :]) @ v.T
+    beta = v @ (w_inv * (v.T @ resid))
+    # Padded block contributes eigenvalues exactly 1 -> log 1 = 0.
+    logdet = jnp.sum(jnp.log(w_clip))
+    return kinv, beta, logdet, floor
+
+
+@f32_matmul_precision
+def _factorize(state: GPState) -> GPState:
+    """Rebuild kinv / beta / logdet under current data + hyperparameters.
+
+    Mirrors build_Ky_inv_mat (gpr.py:159-171) but masked, with adaptive-jitter
+    Cholesky (default) or spectrum-clipped eigh instead of the reference's raw
+    torch.linalg.inv, and with true-f32 matmul precision forced (TPU's default
+    bf16 matmul passes break the factorization)."""
     cfg = state.config
     kf = se_gram_batched(state.x, state.x, state.log_lambdas, state.log_sigma_f)
-    diag_add = jnp.exp(2.0 * state.log_sigma_n) + cfg.jitter   # (E,)
+    diag_add = jnp.exp(2.0 * state.log_sigma_n)               # (E,)
     ky = jax.vmap(masked_psd_add, in_axes=(0, None, 0))(kf, state.mask, diag_add)
-    chol = jnp.linalg.cholesky(ky)
-    kinv = jax.vmap(chol_inverse)(chol)
     resid = residuals(state)
-    beta = jax.vmap(chol_solve)(chol, resid[..., None])[..., 0]
-    return state.replace(chol=chol, kinv=kinv, beta=beta)
+
+    solver = _solve_chol if cfg.solve_backend == 'chol' else _solve_eigh
+    kinv, beta, logdet, jitter = jax.vmap(solver, in_axes=(0, None, 0, None))(
+        ky, state.mask, resid, cfg.jitter)
+    return state.replace(kinv=kinv, beta=beta, logdet=logdet,
+                         jitter_used=jitter)
 
 
 fit = _factorize
@@ -135,9 +224,10 @@ def make_gp(config: GPConfig,
         log_lambdas=_hp(log_lambdas, (e, d)),
         log_sigma_f=_hp(log_sigma_f, (e,)),
         log_sigma_n=_hp(log_sigma_n, (e,)),
-        chol=jnp.zeros((e, cap, cap), dtype),
         kinv=jnp.zeros((e, cap, cap), dtype),
         beta=jnp.zeros((e, cap), dtype),
+        logdet=jnp.zeros((e,), dtype),
+        jitter_used=jnp.zeros((e,), dtype),
     )
     return _factorize(state)
 
@@ -183,9 +273,10 @@ def grow(state: GPState, new_capacity: int) -> GPState:
         x=jnp.pad(state.x, ((0, pad), (0, 0))),
         y=jnp.pad(state.y, ((0, 0), (0, pad))),
         mask=jnp.pad(state.mask, (0, pad)),
-        chol=jnp.zeros((cfg.out_dim, new_capacity, new_capacity), state.chol.dtype),
         kinv=jnp.zeros((cfg.out_dim, new_capacity, new_capacity), state.kinv.dtype),
         beta=jnp.zeros((cfg.out_dim, new_capacity), state.beta.dtype),
+        logdet=jnp.zeros((cfg.out_dim,), state.beta.dtype),
+        jitter_used=jnp.zeros((cfg.out_dim,), state.beta.dtype),
     )
     return _factorize(state)
 

@@ -1,0 +1,99 @@
+"""GP hyperparameter training — marginal-likelihood ascent.
+
+Reference semantics: `update_hyperparams` (gpr.py:334-370): Adam(lr=0.1,
+betas=(0.9, 0.999), maximize=True) over (log_lambdas, log_sigma_f, log_sigma_n),
+full matrix rebuild per step, early stop when every |grad|_inf < 1e-5, capped
+iterations. Re-designed TPU-first:
+
+  - the whole ascent is ONE jitted `lax.while_loop` (the reference pays a full
+    Python round-trip, a det-based ML, and a cond(Ky) print per step),
+  - the E outputs train simultaneously — their log-MLs are independent terms of
+    the summed objective, so the joint ascent equals per-output training,
+  - Cholesky log-det ML (the reference's torch.linalg.det overflows, gpr.py:246),
+  - optax instead of torch.optim; gradients via jax.grad through the masked
+    factorization.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gpmpc_tpu.gp.exact import log_marginal_likelihood
+from gpmpc_tpu.gp.state import GPState, fit
+
+
+class TrainResult(NamedTuple):
+    state: GPState          # refit under the trained hyperparameters
+    log_ml: jax.Array       # (E,) final per-output log marginal likelihood
+    iters: jax.Array        # () iterations taken
+    grad_norm: jax.Array    # () final inf-norm over all hyperparameter grads
+
+
+def train_hyperparams(state: GPState, num_iters: int = 1000, lr: float = 0.1,
+                      tol: float = 1e-5,
+                      train_lambdas: bool = True, train_sigma_f: bool = True,
+                      train_sigma_n: bool = True,
+                      min_sigma_n: float = 0.0) -> TrainResult:
+    """Maximize the exact log marginal likelihood over kernel hyperparameters.
+
+    The train_* flags freeze parameters (the reference's experiments hand-fix
+    sigma_n and train nothing, pretrain_pendulum.py:53-55 — freezing is the
+    principled version of that). min_sigma_n > 0 projects sigma_n onto a noise
+    floor after every step: noiseless-interpolation fits (sigma_n -> 1e-5) are
+    the ML optimum on deterministic-sim data but put cond(Ky) beyond what f32
+    linear algebra can represent — a floor of ~1e-3..1e-2 in f32 keeps the
+    posterior computable at negligible accuracy cost."""
+    opt = optax.adam(lr, b1=0.9, b2=0.999)
+
+    def pack(s):
+        return (s.log_lambdas, s.log_sigma_f, s.log_sigma_n)
+
+    def unpack(s, hp):
+        return s.replace(log_lambdas=hp[0], log_sigma_f=hp[1], log_sigma_n=hp[2])
+
+    flags = (train_lambdas, train_sigma_f, train_sigma_n)
+
+    def neg_ml(hp):
+        return -jnp.sum(log_marginal_likelihood(fit(unpack(state, hp))))
+
+    grad_fn = jax.grad(neg_ml)
+
+    def masked_grads(g):
+        return tuple(gi if f else jnp.zeros_like(gi) for gi, f in zip(g, flags))
+
+    def gnorm(g):
+        return jnp.max(jnp.asarray([jnp.max(jnp.abs(gi)) for gi in g]))
+
+    def cond(carry):
+        hp, g, opt_state, t = carry
+        return jnp.logical_and(t < num_iters, gnorm(g) >= tol)
+
+    log_floor = jnp.log(jnp.maximum(min_sigma_n, 1e-30)).astype(
+        state.log_sigma_n.dtype)
+
+    def project(hp):
+        if min_sigma_n <= 0.0:
+            return hp
+        return (hp[0], hp[1], jnp.maximum(hp[2], log_floor))
+
+    def body(carry):
+        # Carry the gradient: one grad evaluation (one refit) per iteration.
+        hp, g, opt_state, t = carry
+        updates, opt_state = opt.update(g, opt_state)
+        hp = project(optax.apply_updates(hp, updates))
+        g = masked_grads(grad_fn(hp))
+        return hp, g, opt_state, t + 1
+
+    hp0 = pack(state)
+    g0 = masked_grads(grad_fn(hp0))
+    hp, g, _, iters = jax.lax.while_loop(
+        cond, body, (hp0, g0, opt.init(hp0), jnp.zeros((), jnp.int32)))
+    gn = gnorm(g)
+
+    final = fit(unpack(state, hp))
+    return TrainResult(state=final, log_ml=log_marginal_likelihood(final),
+                       iters=iters, grad_norm=gn)

@@ -29,17 +29,19 @@ from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
 
 
 @functools.partial(jax.jit, static_argnames=(
-    'state_dim', 'action_dim', 'solver_config', 'full_cov', 'has_r_delta'))
+    'state_dim', 'action_dim', 'solver_config', 'full_cov', 'has_r_delta',
+    'delta_dynamics'))
 def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
            Q, R, R_delta, gamma, x_ref, u_ref, u_prev,
-           solver_config, full_cov, has_r_delta) -> SolveResult:
+           solver_config, full_cov, has_r_delta, delta_dynamics) -> SolveResult:
     cache = build_rollout_cache(gp, state_dim, action_dim)
     params = CostParams(Q=Q, R=R, gamma=gamma, x_ref=x_ref, u_ref=u_ref,
                         R_delta=R_delta if has_r_delta else None,
                         u_prev=u_prev)
 
     def objective(u):
-        means, covs = rollout(cache, x0, u, full_cov=full_cov)
+        means, covs = rollout(cache, x0, u, full_cov=full_cov,
+                              delta=delta_dynamics)
         return risk_sensitive_cost(params, means, covs, u)
 
     return solve_trajectory(objective, u_init, lb, ub, solver_config)
@@ -56,7 +58,9 @@ class _DynamicsHandle:
         return self._owner.gp
 
     def append_train_data(self, state, action, next_state):
-        """state (ds,)|(n,ds), action (da,)|(n,da)|(n,), next_state same as state."""
+        """state (ds,)|(n,ds), action (da,)|(n,da)|(n,), next_state same as state.
+
+        In delta-dynamics mode the stored target is next_state - state."""
         state = np.atleast_2d(np.asarray(state, np.float64))
         action = np.asarray(action, np.float64)
         if action.ndim == 1 and state.shape[0] > 1:
@@ -64,7 +68,8 @@ class _DynamicsHandle:
         action = np.atleast_2d(action)
         next_state = np.atleast_2d(np.asarray(next_state, np.float64))
         x = np.concatenate([state, action], axis=1)
-        self._owner.gp = gp_state.append(self._owner.gp, x, next_state)
+        y = next_state - state if self._owner.delta_dynamics else next_state
+        self._owner.gp = gp_state.append(self._owner.gp, x, y)
 
 
 class RiskSensitiveMPC:
@@ -72,13 +77,18 @@ class RiskSensitiveMPC:
                  R_delta=None, capacity: int = 512,
                  solver: Optional[SolverConfig] = None,
                  full_cov: bool = False, dtype=jnp.float32,
-                 jitter: float = 0.0):
+                 jitter: float = 0.0, delta_dynamics: bool = False):
+        """delta_dynamics=True learns state increments (x' = x + f(x, u)) and
+        propagates the exact input-output covariance — substantially more
+        accurate than the reference's raw next-state targets (see
+        gpmpc_tpu.dynamics); off by default for reference parity."""
         self.gamma = float(gamma)
         self.horizon = int(horizon)
         self.state_dim = int(state_dim)
         self.input_dim = int(input_dim)
         self.dtype = dtype
         self.full_cov = bool(full_cov)
+        self.delta_dynamics = bool(delta_dynamics)
         self.solver_config = solver or SolverConfig()
 
         self.Q = jnp.asarray(Q, dtype).reshape(state_dim, state_dim)
@@ -125,6 +135,19 @@ class RiskSensitiveMPC:
         rebuild (pretrain_pendulum.py:53-55)."""
         self.gp = gp_state.set_hyperparams(self.gp, lambdas, sigma_f, sigma_n)
 
+    def train_gp(self, num_iters: int = 1000, lr: float = 0.1,
+                 min_sigma_n: Optional[float] = None, **kw):
+        """Marginal-likelihood hyperparameter training (reference
+        update_hyperparams, gpr.py:334). Defaults the noise floor to 1e-2 in
+        f32 (conditioning guard; see gp/train.py)."""
+        from gpmpc_tpu.gp.train import train_hyperparams
+        if min_sigma_n is None:
+            min_sigma_n = 1e-2 if self.dtype == jnp.float32 else 0.0
+        res = train_hyperparams(self.gp, num_iters=num_iters, lr=lr,
+                                min_sigma_n=min_sigma_n, **kw)
+        self.gp = res.state
+        return res
+
     def cost(self, means, u, covs, x_ref=None, u_ref=None) -> float:
         """Evaluate the risk-sensitive cost of a given trajectory (reference
         `cost`/`cost_torch`, mpc.py:118-200)."""
@@ -157,7 +180,8 @@ class RiskSensitiveMPC:
             self.R_delta if self.R_delta is not None else jnp.zeros((), dt),
             jnp.asarray(self.gamma, dt), self.x_ref, self.u_ref,
             jnp.asarray(self.last_traj[0], dt),
-            self.solver_config, self.full_cov, self.R_delta is not None)
+            self.solver_config, self.full_cov, self.R_delta is not None,
+            self.delta_dynamics)
         self.last_result = result
         u = np.asarray(result.u, np.float64)
         self.last_traj = u

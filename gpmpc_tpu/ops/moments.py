@@ -28,7 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gpmpc_tpu.utils.linalg import sq_dists
+from gpmpc_tpu.utils.linalg import f32_matmul_precision, sq_dists
 
 
 def _logdet_psd(a: jax.Array) -> jax.Array:
@@ -42,6 +42,7 @@ def _solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
 
+@f32_matmul_precision
 def mean_prop(u, S, x, beta, log_lambdas, log_sigma_f, mask):
     """Predictive mean under Gaussian input (eq. 21/31; reference
     mean_prop_torch u_p.py:296-338).
@@ -62,6 +63,24 @@ def mean_prop(u, S, x, beta, log_lambdas, log_sigma_f, mask):
     return jnp.dot(beta, l), l
 
 
+@f32_matmul_precision
+def input_output_cov(u, S, x, beta, l, log_lambdas):
+    """Covariance between the uncertain input x* ~ N(u, S) and the GP output
+    f(x*): the PILCO-style exact term
+
+        cov(x*, f) = sum_j beta_j l_j S (S + Lambda)^{-1} (x_j - u)     (d,)
+
+    (no analog in the reference — its rollout drops input-output correlation
+    entirely, dynamics.py:184-188; this term is what makes delta-dynamics
+    propagation exact). `l` is the weight vector returned by mean_prop.
+    """
+    lam = jnp.exp(log_lambdas)
+    spl = S + jnp.diag(lam)
+    diff = x - u[None, :]                      # (N, d)
+    w = jnp.sum(beta[:, None] * l[:, None] * diff, axis=0)   # (d,)
+    return S @ _solve_psd(spl, w)
+
+
 class VarianceCache(NamedTuple):
     """Input-independent part of the variance L-matrix contraction.
 
@@ -71,6 +90,7 @@ class VarianceCache(NamedTuple):
     b_lam: jax.Array    # (N, N)
 
 
+@f32_matmul_precision
 def make_variance_cache(x, beta, kinv, log_lambdas, log_sigma_f, mask) -> VarianceCache:
     inv_sqrt_lam = jnp.exp(-0.5 * log_lambdas)
     xs = x * inv_sqrt_lam
@@ -81,6 +101,7 @@ def make_variance_cache(x, beta, kinv, log_lambdas, log_sigma_f, mask) -> Varian
     return VarianceCache(b_lam=b_lam)
 
 
+@f32_matmul_precision
 def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f,
                          mean):
     """Predictive variance under Gaussian input, using a precomputed cache.
@@ -114,6 +135,7 @@ def variance_prop(u, S, x, beta, kinv, log_lambdas, log_sigma_f, mask, mean):
     return variance_prop_cached(u, S, x, cache, log_lambdas, log_sigma_f, mean)
 
 
+@f32_matmul_precision
 def covariance_prop(u, S, x, beta1, beta2, log_lambdas1, log_lambdas2,
                     log_sigma_f1, log_sigma_f2, mask, mean1, mean2):
     """Cross-covariance of two GP outputs under a shared Gaussian input

@@ -1,0 +1,101 @@
+"""Batched and sharded GP-MPC solves — the scenario fan-out layer.
+
+The unit of work is one full trajectory optimization (BASELINE.json's metric is
+solves/s/chip). Everything in the solve is already pure and static-shape, so
+batching is `vmap` and scaling across chips is a NamedSharding on the leading
+scenario axis: XLA SPMD partitions the batch over the mesh with zero
+communication (solves are independent; collectives only appear if a sharded
+'model' axis is used inside the linear algebra).
+
+Three fan-out axes (composable because they are just leading array axes):
+  - initial states   x0s (B, ds)
+  - risk parameters  gammas (B,)
+  - GP posteriors    a GPState with a leading (B,) axis on its arrays
+                     (hyperparameter / dataset draws — `stack_gps`)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.dynamics import RolloutCache, build_rollout_cache, rollout
+from gpmpc_tpu.gp.state import GPState
+from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
+from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
+
+
+def _single_solve(cache: RolloutCache, params: CostParams, x0, u_init, lb, ub,
+                  solver: SolverConfig, full_cov: bool) -> SolveResult:
+    def objective(u):
+        means, covs = rollout(cache, x0, u, full_cov=full_cov)
+        return risk_sensitive_cost(params, means, covs, u)
+
+    return solve_trajectory(objective, u_init, lb, ub, solver)
+
+
+def solve_batch(gp: GPState, state_dim: int, action_dim: int,
+                x0s: jax.Array,                  # (B, ds)
+                params: CostParams,              # gamma may be (B,) for sweeps
+                horizon: int,
+                lb, ub,
+                solver: SolverConfig = SolverConfig(),
+                u_init: Optional[jax.Array] = None,   # (B, H, da) or None
+                full_cov: bool = False) -> SolveResult:
+    """B independent solves against one shared GP posterior.
+
+    The rollout cache (beta, trace matrices) is built ONCE and broadcast — the
+    dominant per-solve precomputation is amortized across the whole batch.
+    gamma (and u_prev/x_ref/u_ref) may carry a leading (B,) axis to sweep
+    per-scenario cost parameters; scalar entries broadcast.
+    """
+    b = x0s.shape[0]
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    if u_init is None:
+        u_init = jnp.zeros((b, horizon, action_dim), x0s.dtype)
+
+    def axis_of(v):
+        if v is None:
+            return None
+        return 0 if (hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b) else None
+
+    params_axes = CostParams(
+        Q=axis_of(params.Q) if params.Q.ndim == 3 else None,
+        R=None, gamma=axis_of(params.gamma),
+        x_ref=0 if params.x_ref.ndim == 2 else None,
+        u_ref=0 if params.u_ref.ndim == 2 else None,
+        R_delta=None,
+        u_prev=(0 if (params.u_prev is not None and params.u_prev.ndim == 2)
+                else None))
+
+    fn = jax.vmap(_single_solve,
+                  in_axes=(None, params_axes, 0, 0, None, None, None, None))
+    return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov)
+
+
+def solve_batch_gp(gps: GPState, state_dim: int, action_dim: int,
+                   x0s: jax.Array, params: CostParams, horizon: int,
+                   lb, ub, solver: SolverConfig = SolverConfig(),
+                   full_cov: bool = False) -> SolveResult:
+    """B solves, each against its OWN GP draw (gps has a leading (B,) axis on
+    every array leaf — see stack_gps). The Monte-Carlo hyperparameter config
+    of BASELINE.json (config 5)."""
+    b = x0s.shape[0]
+    u_init = jnp.zeros((b, horizon, action_dim), x0s.dtype)
+
+    def one(gp, x0, u0, gamma):
+        cache = build_rollout_cache(gp, state_dim, action_dim)
+        p = params._replace(gamma=gamma)
+        return _single_solve(cache, p, x0, u0, lb, ub, solver, full_cov)
+
+    gamma = params.gamma
+    gamma_axis = 0 if (hasattr(gamma, 'ndim') and gamma.ndim == 1) else None
+    gamma_b = gamma if gamma_axis == 0 else jnp.broadcast_to(gamma, (b,))
+    return jax.vmap(one, in_axes=(0, 0, 0, 0))(gps, x0s, u_init, gamma_b)
+
+
+def stack_gps(gp_list) -> GPState:
+    """Stack GPStates (same config/shapes) into one with a leading batch axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *gp_list)

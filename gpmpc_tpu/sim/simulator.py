@@ -87,7 +87,8 @@ def run_episode_on_device(gp: gp_state.GPState,
                           lb, ub,
                           solver: SolverConfig = SolverConfig(),
                           learn_online: bool = True,
-                          full_cov: bool = False):
+                          full_cov: bool = False,
+                          delta_dynamics: bool = False):
     """Whole receding-horizon episode as one on-device scan.
 
     plant_step: (state (ds,), action (da,)) -> (next_state, reward), pure jnp.
@@ -102,7 +103,8 @@ def run_episode_on_device(gp: gp_state.GPState,
         p = params._replace(u_prev=u_prev) if params.R_delta is not None else params
 
         def objective(u):
-            means, covs = rollout(cache, x, u, full_cov=full_cov)
+            means, covs = rollout(cache, x, u, full_cov=full_cov,
+                                  delta=delta_dynamics)
             return risk_sensitive_cost(p, means, covs, u)
 
         u_init = jnp.zeros((horizon, da), x.dtype)
@@ -115,7 +117,8 @@ def run_episode_on_device(gp: gp_state.GPState,
         next_x, reward = plant_step(x, action)
         if learn_online:
             xu = jnp.concatenate([x, action])
-            gp_t = gp_state.append(gp_t, xu, next_x)
+            target = next_x - x if delta_dynamics else next_x
+            gp_t = gp_state.append(gp_t, xu, target)
         out = dict(state=next_x, action=action, reward=reward,
                    cost=result.cost, iters=result.iters)
         return (gp_t, next_x, action), out
