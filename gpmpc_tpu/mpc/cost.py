@@ -27,6 +27,8 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.utils.smallchol import chol_small, solve_lower_small, solve_psd_small
+
 _PD_PENALTY = 1e6
 
 
@@ -58,12 +60,15 @@ def _stage_state_cost(Q, gamma, x, sig, x_ref):
     is_zero = gamma == 0.0
     g = jnp.where(is_zero, jnp.ones((), dt), gamma)
 
-    q_chol = jnp.linalg.cholesky(Q)
+    # All (ds, ds) factorizations are unrolled elementwise ops (smallchol) —
+    # XLA's batched cholesky/triangular_solve at these sizes is a per-step
+    # bottleneck on TPU.
+    q_chol = chol_small(Q)
     logdet_q = 2.0 * jnp.sum(jnp.log(jnp.diagonal(q_chol)))
-    q_inv = jnp.linalg.inv(Q)
+    q_inv = solve_psd_small(Q, eye)
 
     G = q_inv + g * sig
-    g_chol = jnp.linalg.cholesky(G)
+    g_chol = chol_small(G)
     ok = jnp.all(jnp.isfinite(jnp.diagonal(g_chol)))
     # Double-where: compute with a sanitized G so NaNs never enter the selected
     # branch's gradient graph.
@@ -71,7 +76,7 @@ def _stage_state_cost(Q, gamma, x, sig, x_ref):
     logdet_g = 2.0 * jnp.sum(jnp.log(jnp.diagonal(g_chol_safe)))
     logdet_term = (logdet_q + logdet_g) / g
 
-    w = jax.scipy.linalg.solve_triangular(g_chol_safe, dx, lower=True)
+    w = solve_lower_small(g_chol_safe, dx[:, None])[:, 0]
     quad_general = jnp.sum(w * w)
 
     limit = jnp.trace(Q @ sig) + dx @ Q @ dx

@@ -29,17 +29,8 @@ import jax
 import jax.numpy as jnp
 
 from gpmpc_tpu.utils.linalg import f32_matmul_precision, sq_dists
-
-
-def _logdet_psd(a: jax.Array) -> jax.Array:
-    chol = jnp.linalg.cholesky(a)
-    return 2.0 * jnp.sum(jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)
-
-
-def _solve_psd(a: jax.Array, b: jax.Array) -> jax.Array:
-    chol = jnp.linalg.cholesky(a)
-    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+from gpmpc_tpu.utils.smallchol import logdet_psd_small as _logdet_psd
+from gpmpc_tpu.utils.smallchol import solve_psd_small as _solve_psd
 
 
 @f32_matmul_precision
@@ -118,13 +109,18 @@ def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f
     lam = jnp.exp(log_lambdas)
     hls = jnp.diag(lam / 2.0) + S
     diff = u[None, :] - x                      # (N, d)
-    sol = _solve_psd(hls, diff.T)              # (d, N)
-    p = diff @ sol                             # (N, N) — MXU
-    pd = jnp.diagonal(p)
-    a_part = jnp.exp(-0.125 * (pd[:, None] + 2.0 * p + pd[None, :]))
+    g = _solve_psd(hls, diff.T).T              # (N, d) = diff (Lam/2 + S)^{-1}
+    p = diff @ g.T                             # (N, N) — MXU
+    q = jnp.sum(g * diff, axis=1)              # diag of p
+    # The exponent -1/8 (q_i + 2 p_ij + q_j) separates: sum(b_lam * A_part)
+    # = d^T (b_lam o exp(-p/4)) d with d_i = exp(-q_i / 8) — one fused (N, N)
+    # elementwise op + a sandwiched matvec instead of three broadcast (N, N)
+    # temporaries (HBM-bandwidth matters; this is the rollout's hot tile).
+    d_vec = jnp.exp(-0.125 * q)
+    be = cache.b_lam * jnp.exp(-0.25 * p)
     # det(2 Lambda^{-1} S + I) = det(Lambda/2 + S) / det(Lambda/2)
     log_det_part = -0.5 * (_logdet_psd(hls) - jnp.sum(log_lambdas - jnp.log(2.0)))
-    trace_term = jnp.exp(log_det_part) * jnp.sum(cache.b_lam * a_part)
+    trace_term = jnp.exp(log_det_part) * (d_vec @ be @ d_vec)
     return jnp.exp(2.0 * log_sigma_f) - trace_term - mean ** 2
 
 
