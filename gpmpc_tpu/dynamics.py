@@ -76,12 +76,9 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
     gp_mean, l = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
                          cache.log_lambdas, cache.log_sigma_f, cache.mask)
 
-    var_fn = jax.vmap(
-        moments.variance_prop_cached,
-        in_axes=(None, None, None, moments.VarianceCache(0), 0, 0, 0))
-    gp_var = var_fn(joint_mean, joint_cov, cache.x,
-                    moments.VarianceCache(cache.b_lam),
-                    cache.log_lambdas, cache.log_sigma_f, gp_mean)
+    gp_var = moments.variance_prop_multi(joint_mean, joint_cov, cache.x,
+                                         cache.b_lam, cache.log_lambdas,
+                                         cache.log_sigma_f, gp_mean)
 
     if delta:
         io_fn = jax.vmap(moments.input_output_cov,

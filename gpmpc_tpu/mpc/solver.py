@@ -33,14 +33,23 @@ from flax import struct
 
 @struct.dataclass
 class SolverConfig:
+    # 'lbfgs': projected L-BFGS with projected-Armijo backtracking (default —
+    #          converges in tens of iterations and resolves flat directions the
+    #          first-order method leaves behind).
+    # 'adam':  projected Adam with a fixed step (the bounded-budget descender;
+    #          closest in spirit to the reference's line-search-disabled IPOPT).
+    method: str = struct.field(pytree_node=False, default='lbfgs')
     max_iters: int = struct.field(pytree_node=False, default=300)
     tol: float = struct.field(pytree_node=False, default=1e-4)
     learning_rate: float = struct.field(pytree_node=False, default=0.1)
     b1: float = struct.field(pytree_node=False, default=0.9)
     b2: float = struct.field(pytree_node=False, default=0.999)
     eps: float = struct.field(pytree_node=False, default=1e-8)
+    # L-BFGS options.
+    history: int = struct.field(pytree_node=False, default=8)
+    max_backtracks: int = struct.field(pytree_node=False, default=20)
     # Final polishing: a few projected-gradient steps with decaying step size to
-    # tighten boundary activity after Adam's adaptive scaling.
+    # tighten boundary activity (useful after Adam; rarely needed for L-BFGS).
     polish_iters: int = struct.field(pytree_node=False, default=0)
 
 
@@ -58,6 +67,125 @@ def solve_trajectory(objective: Callable[[jax.Array], jax.Array],
 
     objective: (H, da) -> scalar, jax-differentiable.
     """
+    if config.method == 'lbfgs':
+        return _solve_lbfgs(objective, u_init, lb, ub, config)
+    return _solve_adam(objective, u_init, lb, ub, config)
+
+
+def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult:
+    """Projected L-BFGS: two-loop recursion over a fixed-size history with
+    projected-Armijo backtracking — the jitted, vmappable equivalent of the
+    native box solver (native/box_solver.cpp) and of the role IPOPT plays in
+    the reference. History buffers are static-shape (mem, n) with an
+    oldest-to-newest shift on insert, so the whole solve is one lax.while_loop.
+    """
+    dt = u_init.dtype
+    shape = u_init.shape
+    n = u_init.size
+    mem = config.history
+    lb_f = jnp.broadcast_to(jnp.asarray(lb, dt), shape).ravel()
+    ub_f = jnp.broadcast_to(jnp.asarray(ub, dt), shape).ravel()
+
+    def f_flat(u):
+        return objective(u.reshape(shape))
+
+    vg = jax.value_and_grad(f_flat)
+
+    def proj(u):
+        return jnp.clip(u, lb_f, ub_f)
+
+    def pg_res(u, g):
+        return jnp.max(jnp.abs(u - proj(u - g)))
+
+    def two_loop(g, s_h, y_h, rho_h, hlen):
+        q = g
+        alphas = jnp.zeros((mem,), dt)
+        # newest entries live at the END of the history buffers
+        for k in range(mem - 1, -1, -1):
+            valid = k >= mem - hlen
+            a = rho_h[k] * jnp.dot(s_h[k], q)
+            a = jnp.where(valid, a, 0.0)
+            alphas = alphas.at[k].set(a)
+            q = q - a * y_h[k]
+        sy = jnp.dot(s_h[mem - 1], y_h[mem - 1])
+        yy = jnp.dot(y_h[mem - 1], y_h[mem - 1])
+        scale = jnp.where(jnp.logical_and(hlen > 0, yy > 0.0),
+                          sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = scale * q
+        for k in range(mem):
+            valid = k >= mem - hlen
+            b = rho_h[k] * jnp.dot(y_h[k], r)
+            b = jnp.where(valid, b, 0.0)
+            r = r + (alphas[k] - b) * s_h[k]
+        return r
+
+    def line_search(u, f, g, d):
+        """Projected backtracking Armijo; returns (u_new, f_new, accepted)."""
+        c1 = 1e-4
+
+        def cond(carry):
+            t, u_new, f_new, done, k = carry
+            return jnp.logical_and(jnp.logical_not(done),
+                                   k < config.max_backtracks)
+
+        def body(carry):
+            t, _, _, _, k = carry
+            u_try = proj(u + t * d)
+            f_try = f_flat(u_try)
+            dec = jnp.dot(g, u_try - u)
+            ok = jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0)
+            t_next = jnp.where(ok, t, t * 0.5)
+            return t_next, u_try, f_try, ok, k + 1
+
+        one = jnp.asarray(1.0, dt)
+        _, u_new, f_new, accepted, _ = jax.lax.while_loop(
+            cond, body, (one, u, f, jnp.asarray(False), jnp.zeros((), jnp.int32)))
+        return u_new, f_new, accepted
+
+    def cond(carry):
+        u, f, g, s_h, y_h, rho_h, hlen, t, done = carry
+        return jnp.logical_and(t < config.max_iters, jnp.logical_not(done))
+
+    def body(carry):
+        u, f, g, s_h, y_h, rho_h, hlen, t, _ = carry
+        d = -two_loop(g, s_h, y_h, rho_h, hlen)
+        gd = jnp.dot(g, d)
+        d = jnp.where(gd < -1e-16, d, -g)          # fall back to steepest
+        u_new, f_new, accepted = line_search(u, f, g, d)
+        # Non-finite objective along the way: reject and stop.
+        accepted = jnp.logical_and(accepted, jnp.isfinite(f_new))
+        u_new = jnp.where(accepted, u_new, u)
+        f_new = jnp.where(accepted, f_new, f)
+        g_new = jax.grad(f_flat)(u_new)
+        g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
+
+        s = u_new - u
+        y = g_new - g
+        sy = jnp.dot(s, y)
+        keep = jnp.logical_and(accepted, sy > 1e-12)
+        s_h2 = jnp.where(keep, jnp.concatenate([s_h[1:], s[None]], 0), s_h)
+        y_h2 = jnp.where(keep, jnp.concatenate([y_h[1:], y[None]], 0), y_h)
+        rho_h2 = jnp.where(keep,
+                           jnp.concatenate([rho_h[1:],
+                                            (1.0 / jnp.maximum(sy, 1e-30))[None]]),
+                           rho_h)
+        hlen2 = jnp.where(keep, jnp.minimum(hlen + 1, mem), hlen)
+        done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
+                              jnp.logical_not(accepted))
+        return u_new, f_new, g_new, s_h2, y_h2, rho_h2, hlen2, t + 1, done
+
+    u0 = proj(u_init.ravel())
+    f0, g0 = vg(u0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    init = (u0, f0, g0, jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
+            jnp.zeros((mem,), dt), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.asarray(False))
+    u, f, g, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
+                       pg_norm=pg_res(u, g))
+
+
+def _solve_adam(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult:
     dt = u_init.dtype
     lb = jnp.broadcast_to(jnp.asarray(lb, dt), u_init.shape)
     ub = jnp.broadcast_to(jnp.asarray(ub, dt), u_init.shape)
