@@ -3,9 +3,9 @@
 Workload (BASELINE.json north star / config 1-3 scale): B independent
 risk-sensitive GP-MPC trajectory optimizations against a shared exact-GP
 dynamics posterior — pendulum dimensions (ds=2, da=1), N=200 training points
-(capacity 256), horizon H=20, a fixed 100-iteration projected-Adam budget per
-solve (tol=0 disables early exit so the measured work is deterministic; the
-reference caps IPOPT at 300 iterations with ~0.3 s/iteration-scale rollouts).
+(capacity 256), horizon H=20, projected L-BFGS with a 40-iteration cap and the
+reference's 1e-4 first-order tolerance (mpc.py:313-320 runs IPOPT at tol 1e-4,
+max 300 iterations; the L-BFGS solves converge in ~15-20 iterations).
 
 Prints ONE JSON line:
   {"metric": "gpmpc_solves_per_s_per_chip", "value": N, "unit": "solves/s",
@@ -22,6 +22,13 @@ import numpy as np
 
 def main():
     import jax
+
+    # Persistent compilation cache: the solve program takes minutes to compile
+    # through this environment's remote-compile tunnel; cache hits make
+    # repeated bench runs start in seconds.
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_gpmpc')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+
     import jax.numpy as jnp
 
     from gpmpc_tpu.gp import state as gs
@@ -34,7 +41,7 @@ def main():
     n_train, capacity = 200, 256
     horizon = 20
     b = 256
-    solver = SolverConfig(max_iters=100, tol=0.0)
+    solver = SolverConfig(method='lbfgs', max_iters=40, tol=1e-4)
 
     rng = np.random.default_rng(0)
     states = rng.uniform(-np.pi, np.pi, (n_train, ds))
@@ -62,16 +69,27 @@ def main():
         return res.u, res.cost
 
     u, c = run(gp, x0s, params)
-    jax.block_until_ready((u, c))          # compile + warmup
+    _ = np.asarray(c)                      # compile + warmup
 
+    # Measurement hygiene for this environment's remote-execution backend:
+    # (a) fresh inputs per repetition — identical argument buffers hit an
+    #     execution cache; (b) a HOST FETCH inside the timed region —
+    #     execution is deferred until results are materialized, so
+    #     block_until_ready alone measures only dispatch.
     n_rep = 3
-    t0 = time.perf_counter()
-    for _ in range(n_rep):
-        u, c = run(gp, x0s, params)
-    jax.block_until_ready((u, c))
-    dt = (time.perf_counter() - t0) / n_rep
+    batches = [jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype)
+               for _ in range(n_rep)]
+    jax.block_until_ready(batches)
+    times = []
+    cs = []
+    for x0s_k in batches:
+        t0 = time.perf_counter()
+        u, c = run(gp, x0s_k, params)
+        cs.append(np.asarray(c))           # forces execution + fetch (~1 KB)
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
 
-    assert np.all(np.isfinite(np.asarray(c))), "non-finite solve costs"
+    assert all(np.all(np.isfinite(ck)) for ck in cs), "non-finite solve costs"
     solves_per_s = b / dt
     print(json.dumps({
         "metric": "gpmpc_solves_per_s_per_chip",

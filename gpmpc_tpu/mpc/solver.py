@@ -119,43 +119,33 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
             r = r + (alphas[k] - b) * s_h[k]
         return r
 
-    def line_search(u, f, g, d):
-        """Projected backtracking Armijo; returns (u_new, f_new, accepted)."""
-        c1 = 1e-4
-
-        def cond(carry):
-            t, u_new, f_new, done, k = carry
-            return jnp.logical_and(jnp.logical_not(done),
-                                   k < config.max_backtracks)
-
-        def body(carry):
-            t, _, _, _, k = carry
-            u_try = proj(u + t * d)
-            f_try = f_flat(u_try)
-            dec = jnp.dot(g, u_try - u)
-            ok = jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0)
-            t_next = jnp.where(ok, t, t * 0.5)
-            return t_next, u_try, f_try, ok, k + 1
-
-        one = jnp.asarray(1.0, dt)
-        _, u_new, f_new, accepted, _ = jax.lax.while_loop(
-            cond, body, (one, u, f, jnp.asarray(False), jnp.zeros((), jnp.int32)))
-        return u_new, f_new, accepted
-
     def cond(carry):
-        u, f, g, s_h, y_h, rho_h, hlen, t, done = carry
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, done = carry
         return jnp.logical_and(t < config.max_iters, jnp.logical_not(done))
 
     def body(carry):
-        u, f, g, s_h, y_h, rho_h, hlen, t, _ = carry
+        # One objective evaluation + one gradient per iteration: instead of an
+        # inner backtracking loop (whose nested control flow also made the
+        # remote TPU compile pathologically slow), Armijo tests a single
+        # candidate at the carried step size t_ls — halved on rejection,
+        # doubled (capped at 1) on acceptance. A rejected iteration costs one
+        # forward pass and retries with the smaller step.
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, _ = carry
         d = -two_loop(g, s_h, y_h, rho_h, hlen)
         gd = jnp.dot(g, d)
         d = jnp.where(gd < -1e-16, d, -g)          # fall back to steepest
-        u_new, f_new, accepted = line_search(u, f, g, d)
-        # Non-finite objective along the way: reject and stop.
-        accepted = jnp.logical_and(accepted, jnp.isfinite(f_new))
-        u_new = jnp.where(accepted, u_new, u)
-        f_new = jnp.where(accepted, f_new, f)
+
+        c1 = 1e-4
+        u_try = proj(u + t_ls * d)
+        f_try = f_flat(u_try)
+        dec = jnp.dot(g, u_try - u)
+        accepted = jnp.logical_and(
+            jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0),
+            jnp.isfinite(f_try))
+        u_new = jnp.where(accepted, u_try, u)
+        f_new = jnp.where(accepted, f_try, f)
+        t_ls = jnp.where(accepted, jnp.minimum(2.0 * t_ls, 1.0), 0.5 * t_ls)
+
         g_new = jax.grad(f_flat)(u_new)
         g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
 
@@ -171,16 +161,19 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
                            rho_h)
         hlen2 = jnp.where(keep, jnp.minimum(hlen + 1, mem), hlen)
         done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
-                              jnp.logical_not(accepted))
-        return u_new, f_new, g_new, s_h2, y_h2, rho_h2, hlen2, t + 1, done
+                              t_ls < 1e-10)        # step underflow: stationary
+        return u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, t + 1, done
 
     u0 = proj(u_init.ravel())
     f0, g0 = vg(u0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    init = (u0, f0, g0, jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
+    init = (u0, f0, g0, jnp.asarray(1.0, dt),
+            jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False))
-    u, f, g, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    u, f, g, _, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    # pg from the carried gradient — a fresh grad here would inline another
+    # full rollout forward+backward into the program.
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
                        pg_norm=pg_res(u, g))
 
