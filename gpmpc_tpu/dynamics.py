@@ -157,3 +157,82 @@ def rollout_from_gp(gp: GPState, state_dim: int, action_dim: int,
     """Convenience: build the cache and roll out in one call."""
     cache = build_rollout_cache(gp, state_dim, action_dim)
     return rollout(cache, x0, actions, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Explicitly-batched rollout — the scenario-parallel hot path.
+#
+# Numerically identical to vmap(rollout) over a leading scenario axis, but the
+# batch is an explicit operand axis so the per-step variance contraction can
+# dispatch to the batched Pallas kernel (ops/pallas/variance_trace.py), whose
+# shared b_lam blocks stay VMEM-resident across the scenario sweep. Everything
+# else in the step reuses the single-scenario ops under jax.vmap (same XLA).
+# Diagonal-covariance path only; full_cov goes through vmap(rollout).
+# ---------------------------------------------------------------------------
+
+
+def _step_batched(cache: RolloutCache, mean, cov_diag, action,
+                  action_var: float, delta: bool):
+    """mean: (B, ds); cov_diag: (B, ds); action: (B, da) ->
+    (new_mean (B, ds), new_cov_diag (B, ds))."""
+    ds, da = cache.state_dim, cache.action_dim
+    b = mean.shape[0]
+    dt = mean.dtype
+    joint_mean = jnp.concatenate([mean, action], axis=1)          # (B, D)
+    diag = jnp.concatenate(
+        [cov_diag, jnp.full((b, da), action_var, dt)], axis=1)    # (B, D)
+    joint_cov = diag[:, :, None] * jnp.eye(ds + da, dtype=dt)     # (B, D, D)
+
+    mean_fn = jax.vmap(jax.vmap(moments.mean_prop,
+                                in_axes=(None, None, None, 0, 0, 0, None)),
+                       in_axes=(0, 0, None, None, None, None, None))
+    gp_mean, l = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
+                         cache.log_lambdas, cache.log_sigma_f, cache.mask)
+
+    gp_var = moments.variance_prop_multi_batched(
+        joint_mean, joint_cov, cache.x, cache.b_lam, cache.log_lambdas,
+        cache.log_sigma_f, gp_mean)                               # (B, E)
+
+    min_var = 1e-8
+    if delta:
+        io_fn = jax.vmap(jax.vmap(moments.input_output_cov,
+                                  in_axes=(None, None, None, 0, 0, 0)),
+                         in_axes=(0, 0, None, None, 0, None))
+        c_io = io_fn(joint_mean, joint_cov, cache.x, cache.beta, l,
+                     cache.log_lambdas)                           # (B, E, D)
+        c_state_diag = jnp.diagonal(c_io[:, :, :ds],
+                                    axis1=1, axis2=2)             # (B, ds)
+        new_mean = mean + gp_mean
+        new_var = cov_diag + gp_var + 2.0 * c_state_diag
+    else:
+        new_mean = gp_mean
+        new_var = gp_var
+    return new_mean, jnp.maximum(new_var, min_var)
+
+
+def rollout_batched(cache: RolloutCache, x0s: jax.Array, actions: jax.Array,
+                    init_state_var: float = 1e-3, action_var: float = 1e-3,
+                    delta: bool = False):
+    """Batched H-step uncertain shooting rollout (diagonal covariance).
+
+    x0s: (B, ds); actions: (B, H, da).
+    Returns (means, covs): (B, H+1, ds) and (B, H+1, ds, ds) — matching
+    vmap(rollout) exactly (tests/test_batched.py asserts this).
+    """
+    ds = cache.state_dim
+    b = x0s.shape[0]
+    dt = x0s.dtype
+    var0 = jnp.full((b, ds), init_state_var, dt)
+
+    def body(carry, u_t):
+        mean, var = carry
+        new_mean, new_var = _step_batched(cache, mean, var, u_t, action_var,
+                                          delta)
+        return (new_mean, new_var), (new_mean, new_var)
+
+    _, (means, variances) = jax.lax.scan(
+        body, (x0s, var0), jnp.swapaxes(actions, 0, 1))           # (H, B, ds)
+    means = jnp.concatenate([x0s[None], means], axis=0)           # (H+1, B, ds)
+    variances = jnp.concatenate([var0[None], variances], axis=0)
+    covs = variances[..., :, None] * jnp.eye(ds, dtype=dt)        # (H+1,B,ds,ds)
+    return jnp.swapaxes(means, 0, 1), jnp.swapaxes(covs, 0, 1)

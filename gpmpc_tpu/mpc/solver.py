@@ -135,9 +135,12 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         gd = jnp.dot(g, d)
         d = jnp.where(gd < -1e-16, d, -g)          # fall back to steepest
 
+        # ONE value_and_grad per iteration (see solve_trajectory_batched): the
+        # candidate's gradient doubles as the next iterate's gradient on
+        # acceptance; the carried g stays valid on rejection.
         c1 = 1e-4
         u_try = proj(u + t_ls * d)
-        f_try = f_flat(u_try)
+        f_try, g_try = vg(u_try)
         dec = jnp.dot(g, u_try - u)
         accepted = jnp.logical_and(
             jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0),
@@ -146,8 +149,8 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         f_new = jnp.where(accepted, f_try, f)
         t_ls = jnp.where(accepted, jnp.minimum(2.0 * t_ls, 1.0), 0.5 * t_ls)
 
-        g_new = jax.grad(f_flat)(u_new)
-        g_new = jnp.where(jnp.isfinite(g_new), g_new, 0.0)
+        g_try = jnp.where(jnp.isfinite(g_try), g_try, 0.0)
+        g_new = jnp.where(accepted, g_try, g)
 
         s = u_new - u
         y = g_new - g
@@ -175,6 +178,133 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
     # pg from the carried gradient — a fresh grad here would inline another
     # full rollout forward+backward into the program.
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
+                       pg_norm=pg_res(u, g))
+
+
+def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
+                             u_init: jax.Array, lb, ub,
+                             config: SolverConfig = SolverConfig()
+                             ) -> SolveResult:
+    """Explicitly-batched projected L-BFGS: B independent box-constrained
+    solves advanced in lockstep inside ONE lax.while_loop.
+
+    objective_b: (B, H, da) -> (B,) independent per-scenario objectives (so
+    grad of the sum gives exact per-scenario gradients). Numerically identical
+    to vmap(solve_trajectory) — per-scenario acceptance, step sizes, history
+    updates, and convergence are all elementwise over B — but the batch stays
+    an explicit operand axis end-to-end, which lets the objective's rollout
+    dispatch batched Pallas kernels (see dynamics.rollout_batched). Converged
+    scenarios freeze (their state stops updating) while the loop runs until
+    all are done or the iteration cap, matching vmapped-while semantics.
+    """
+    dt = u_init.dtype
+    b = u_init.shape[0]
+    shape = u_init.shape
+    n = u_init[0].size
+    mem = config.history
+    lb_f = jnp.broadcast_to(jnp.asarray(lb, dt), shape).reshape(b, n)
+    ub_f = jnp.broadcast_to(jnp.asarray(ub, dt), shape).reshape(b, n)
+
+    def f_flat(u):                               # (B, n) -> (B,)
+        return objective_b(u.reshape(shape))
+
+    def val_and_grad(u):
+        f, vjp_fn = jax.vjp(f_flat, u)
+        (g,) = vjp_fn(jnp.ones_like(f))
+        return f, g
+
+    def proj(u):
+        return jnp.clip(u, lb_f, ub_f)
+
+    def pg_res(u, g):                            # (B,)
+        return jnp.max(jnp.abs(u - proj(u - g)), axis=1)
+
+    def two_loop(g, s_h, y_h, rho_h, hlen):
+        # g: (B, n); histories: (B, mem, n); rho: (B, mem); hlen: (B,).
+        q = g
+        alphas = jnp.zeros((b, mem), dt)
+        for k in range(mem - 1, -1, -1):
+            valid = k >= mem - hlen              # (B,)
+            a = rho_h[:, k] * jnp.einsum('bn,bn->b', s_h[:, k], q)
+            a = jnp.where(valid, a, 0.0)
+            alphas = alphas.at[:, k].set(a)
+            q = q - a[:, None] * y_h[:, k]
+        sy = jnp.einsum('bn,bn->b', s_h[:, mem - 1], y_h[:, mem - 1])
+        yy = jnp.einsum('bn,bn->b', y_h[:, mem - 1], y_h[:, mem - 1])
+        scale = jnp.where(jnp.logical_and(hlen > 0, yy > 0.0),
+                          sy / jnp.maximum(yy, 1e-30), 1.0)
+        r = scale[:, None] * q
+        for k in range(mem):
+            valid = k >= mem - hlen
+            bk = rho_h[:, k] * jnp.einsum('bn,bn->b', y_h[:, k], r)
+            bk = jnp.where(valid, bk, 0.0)
+            r = r + (alphas[:, k] - bk)[:, None] * s_h[:, k]
+        return r
+
+    def cond(carry):
+        *_, t, _iters_b, done = carry
+        return jnp.logical_and(t < config.max_iters,
+                               jnp.logical_not(jnp.all(done)))
+
+    def body(carry):
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, iters_b, done = carry
+        live = jnp.logical_not(done)             # (B,)
+        d = -two_loop(g, s_h, y_h, rho_h, hlen)
+        gd = jnp.einsum('bn,bn->b', g, d)
+        d = jnp.where((gd < -1e-16)[:, None], d, -g)
+
+        # ONE value_and_grad per iteration: evaluate both f and grad at the
+        # candidate. On acceptance the gradient is exactly the next iterate's
+        # gradient; on rejection the carried (u, f, g) stay valid. (Evaluating
+        # f alone for the Armijo test and then grad at u_new separately — the
+        # obvious transcription — costs 2 forward rollouts + 1 backward per
+        # iteration instead of 1 + 1.)
+        c1 = 1e-4
+        u_try = proj(u + t_ls[:, None] * d)
+        f_try, g_try = val_and_grad(u_try)
+        dec = jnp.einsum('bn,bn->b', g, u_try - u)
+        accepted = jnp.logical_and(
+            jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0),
+            jnp.isfinite(f_try))
+        accepted = jnp.logical_and(accepted, live)
+        u_new = jnp.where(accepted[:, None], u_try, u)
+        f_new = jnp.where(accepted, f_try, f)
+        t_ls = jnp.where(done, t_ls,
+                         jnp.where(accepted, jnp.minimum(2.0 * t_ls, 1.0),
+                                   0.5 * t_ls))
+
+        g_try = jnp.where(jnp.isfinite(g_try), g_try, 0.0)
+        g_new = jnp.where(accepted[:, None], g_try, g)
+
+        s = u_new - u
+        y = g_new - g
+        sy = jnp.einsum('bn,bn->b', s, y)
+        keep = jnp.logical_and(accepted, sy > 1e-12)    # (B,)
+        shifted_s = jnp.concatenate([s_h[:, 1:], s[:, None]], axis=1)
+        shifted_y = jnp.concatenate([y_h[:, 1:], y[:, None]], axis=1)
+        shifted_rho = jnp.concatenate(
+            [rho_h[:, 1:], (1.0 / jnp.maximum(sy, 1e-30))[:, None]], axis=1)
+        s_h2 = jnp.where(keep[:, None, None], shifted_s, s_h)
+        y_h2 = jnp.where(keep[:, None, None], shifted_y, y_h)
+        rho_h2 = jnp.where(keep[:, None], shifted_rho, rho_h)
+        hlen2 = jnp.where(keep, jnp.minimum(hlen + 1, mem), hlen)
+        newly_done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
+                                    t_ls < 1e-10)
+        done2 = jnp.logical_or(done, jnp.logical_and(newly_done, live))
+        iters_b2 = jnp.where(done, iters_b, t + 1)
+        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
+                t + 1, iters_b2, done2)
+
+    u0 = proj(u_init.reshape(b, n))
+    f0, g0 = val_and_grad(u0)
+    g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+    init = (u0, f0, g0, jnp.ones((b,), dt),
+            jnp.zeros((b, mem, n), dt), jnp.zeros((b, mem, n), dt),
+            jnp.zeros((b, mem), dt), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((), jnp.int32), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), bool))
+    u, f, g, *_, iters_b, _ = jax.lax.while_loop(cond, body, init)
+    return SolveResult(u=u.reshape(shape), cost=f, iters=iters_b,
                        pg_norm=pg_res(u, g))
 
 

@@ -176,6 +176,37 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
 
 
 @f32_matmul_precision
+def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
+    """Scenario-batched all-outputs variance propagation — the explicit-batch
+    rollout hot path (see ops/pallas/variance_trace.py: the batched kernel
+    keeps the shared b_lam blocks VMEM-resident across the scenario sweep,
+    which a per-scenario vmap of `variance_prop_multi` cannot express).
+
+    u: (B, d); S: (B, d, d); x: (N, d) shared; b_lam: (E, N, N) shared;
+    log_lambdas: (E, d); log_sigma_f: (E,); means: (B, E) -> (B, E).
+    """
+    from gpmpc_tpu.ops.pallas import variance_trace as _vt
+
+    n, d = x.shape
+    lam = jnp.exp(log_lambdas)                              # (E, d)
+    eye = jnp.eye(d, dtype=x.dtype)
+    # (B, E, d, d) = Lambda_e / 2 + S_b
+    hls = (lam / 2.0)[None, :, :, None] * eye + S[:, None]
+    log_det_part = -0.5 * (_logdet_psd(hls)
+                           - jnp.sum(log_lambdas - jnp.log(2.0), axis=-1)[None])
+
+    if _vt.enabled_batched() and _vt.supported_batched(n, d, x.dtype):
+        m2 = _solve_psd(hls, jnp.broadcast_to(eye, hls.shape))
+        t = _vt.variance_trace_batched(u, m2, x, b_lam)
+    else:
+        m2 = _solve_psd(hls, jnp.broadcast_to(eye, hls.shape))
+        t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
+
+    return (jnp.exp(2.0 * log_sigma_f)[None]
+            - jnp.exp(log_det_part) * t - means ** 2)
+
+
+@f32_matmul_precision
 def covariance_prop(u, S, x, beta1, beta2, log_lambdas1, log_lambdas2,
                     log_sigma_f1, log_sigma_f2, mask, mean1, mean2):
     """Cross-covariance of two GP outputs under a shared Gaussian input

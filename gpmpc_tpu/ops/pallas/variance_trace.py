@@ -249,3 +249,200 @@ def variance_trace_reference(u, m2, x, blam):
     q = jnp.sum(g * a, axis=1)
     dvec = jnp.exp(-0.125 * q)
     return dvec @ (blam * jnp.exp(-0.25 * p)) @ dvec
+
+
+# ===================================================================
+# Explicitly-batched kernels — the production hot path.
+#
+# Under a per-scenario vmap the automatic Pallas batching rule prepends the
+# scenario axis as the OUTERMOST grid dimension, so the shared blam tile is
+# re-DMA'd from HBM for every scenario and each grid cell is tiny (see
+# `enabled` above for the measured result). Here the scenario batch B is an
+# EXPLICIT operand axis and the innermost grid dimension: blam's index map is
+# constant in b, so Mosaic's pipeline keeps each (e) blam block VMEM-resident
+# across the whole scenario sweep — HBM reads it E times total instead of
+# B*E times, and each grid cell does a full (N, N) tile of work.
+#
+# Requires the caller to be natively batched (dynamics.rollout_batched +
+# mpc.solver.solve_trajectory_batched), not vmapped.
+# ===================================================================
+
+
+def enabled_batched() -> bool:
+    """The batched kernels are the default on TPU (opt out with
+    GPMPC_DISABLE_PALLAS=1); off-TPU they run interpreted only when forced
+    (GPMPC_FORCE_PALLAS=1 — used by the kernel oracle tests)."""
+    import os
+    if os.environ.get('GPMPC_DISABLE_PALLAS') == '1':
+        return False
+    if jax.default_backend() == 'tpu':
+        return True
+    return os.environ.get('GPMPC_FORCE_PALLAS') == '1'
+
+
+def supported_batched(n: int, d: int, dtype) -> bool:
+    """Full-N blocks (no i/j tiling): blam block (N, N) f32 must sit in VMEM
+    alongside the (N, N) work tile — N <= 1024 keeps the cell under ~12 MB."""
+    return n % 128 == 0 and 128 <= n <= 1024 and d <= 8 and dtype == jnp.float32
+
+
+def _btile(b: int) -> int:
+    """Scenarios per grid cell: amortizes the fixed per-cell cost (DMA setup,
+    grid bookkeeping) that dominated the first (one-cell-per-scenario) layout."""
+    for bt in (8, 4, 2):
+        if b % bt == 0:
+            return bt
+    return 1
+
+
+def _make_bfwd_kernel(btile: int):
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
+        # Cell (e, bb): t[bb*BT + k, e] for k < BT, each
+        #   t = sum_ij blam[e]_ij d_i d_j exp(-1/4 g_i . a_j).
+        # t_ref is the FULL (B, E) output in SMEM (constant index map — tiny,
+        # and full-array blocks sidestep the (8, 128) tiling rule).
+        e = pl.program_id(0)
+        b0 = pl.program_id(1) * btile
+        blam = blam_ref[0]
+        for k in range(btile):
+            p = jnp.dot(g_ref[k, 0], a_ref[k].T,
+                        preferred_element_type=jnp.float32)
+            w = blam * jnp.exp(-0.25 * p)
+            dv = dv_ref[k, 0, :, 0]
+            t_ref[b0 + k, e] = jnp.sum(w * (dv[:, None] * dv[None, :]))
+    return kernel
+
+
+def _bfwd_call(g, a, dvec, blam):
+    """g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N); blam: (E, N, N)
+    -> t (B, E)."""
+    b, e, n, d = g.shape
+    bt = _btile(b)
+    grid = (e, b // bt)                 # b innermost: blam block stays resident
+    return pl.pallas_call(
+        _make_bfwd_kernel(bt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+def _make_bbwd_kernel(btile: int):
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, z0_ref, z_ref, z2_ref):
+        # Cell (e, bb): recompute W, emit the three small contractions
+        #   z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A   (r = W 1)
+        # for each of the cell's BT scenarios. The (d, N)-transposed MXU
+        # products that tripped the Mosaic RET_CHECK in the tiled kernel are
+        # replaced by VPU contractions over (N, d, d) — at d <= 8 that is
+        # N*d^2 elementwise work, cheaper than an MXU pass anyway.
+        e = pl.program_id(0)
+        b0 = pl.program_id(1) * btile
+        blam = blam_ref[0]
+        for k in range(btile):
+            a = a_ref[k]                                          # (N, d)
+            p = jnp.dot(g_ref[k, 0], a.T, preferred_element_type=jnp.float32)
+            dv = dv_ref[k, 0, :, 0]
+            w = blam * jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
+            r = jnp.sum(w, axis=1)                                # (N,)
+            wa = jnp.dot(w, a, preferred_element_type=jnp.float32)  # (N, d)
+            # Outputs are full-array VMEM blocks (constant index map; tiny —
+            # (B,E,d,d) at d <= 8 is < 100 KB); each scenario stores its own
+            # (d,)/(d,d) slab.
+            z0_ref[b0 + k, e] = jnp.sum(a * r[:, None], axis=0)
+            z_ref[b0 + k, e] = jnp.sum(a[:, :, None] * wa[:, None, :], axis=0)
+            z2_ref[b0 + k, e] = jnp.sum(
+                a[:, :, None] * a[:, None, :] * r[:, None, None], axis=0)
+    return kernel
+
+
+def _bbwd_call(g, a, dvec, blam):
+    b, e, n, d = g.shape
+    bt = _btile(b)
+    grid = (e, b // bt)
+    full3 = lambda e_, b_: (0, 0, 0)
+    full4 = lambda e_, b_: (0, 0, 0, 0)
+    return pl.pallas_call(
+        _make_bbwd_kernel(bt),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+def _prep_batched(u, m2, x):
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
+    q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
+    return a, g, jnp.exp(-0.125 * q)
+
+
+@jax.custom_vjp
+def variance_trace_batched(u, m2, x, blam):
+    """Batched fused trace: u (B, d); m2 (B, E, d, d); x (N, d) shared;
+    blam (E, N, N) shared -> (B, E). Analytic gradients in (u, m2); the cache
+    operands (x, blam) are constants by design (build_rollout_cache
+    stop-gradients the GP state). The VJP additionally assumes blam and m2 are
+    SYMMETRIC — always true for b_lam = (Ky^{-1} - beta beta^T) o (sym factors)
+    and for m2 = (Lambda/2 + S)^{-1} (with t = sum_ij blam_ij
+    exp(-1/8 s^T M2 s), s = a_i + a_j, symmetry collapses the four
+    gradient terms into the two the backward kernel computes)."""
+    a, g, dvec = _prep_batched(u, m2, x)
+    return _bfwd_call(g, a, dvec, blam)
+
+
+def _vtb_fwd(u, m2, x, blam):
+    return variance_trace_batched(u, m2, x, blam), (u, m2, x, blam)
+
+
+def _vtb_bwd(res, ct):
+    u, m2, x, blam = res
+    a, g, dvec = _prep_batched(u, m2, x)
+    z0, z, z2 = _bbwd_call(g, a, dvec, blam)       # (B,E,d), (B,E,d,d) x2
+    du = -jnp.einsum('be,bedk,bek->bd', ct, m2, z0)
+    dm2 = -0.25 * ct[:, :, None, None] * (z2 + z)
+    return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
+
+
+variance_trace_batched.defvjp(_vtb_fwd, _vtb_bwd)
+
+
+def variance_trace_batched_reference(u, m2, x, blam):
+    """Pure-jnp twin of variance_trace_batched (fallback + test oracle)."""
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
+    p = jnp.einsum('bend,bmd->benm', g, a)         # (B, E, N, N)
+    q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
+    dvec = jnp.exp(-0.125 * q)
+    w = blam[None] * jnp.exp(-0.25 * p)
+    return jnp.einsum('ben,benm,bem->be', dvec, w, dvec)

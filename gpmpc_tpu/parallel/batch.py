@@ -21,19 +21,40 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from gpmpc_tpu.dynamics import RolloutCache, build_rollout_cache, rollout
+from gpmpc_tpu.dynamics import (RolloutCache, build_rollout_cache, rollout,
+                                rollout_batched)
 from gpmpc_tpu.gp.state import GPState
 from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
-from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
+from gpmpc_tpu.mpc.solver import (SolverConfig, SolveResult, solve_trajectory,
+                                  solve_trajectory_batched)
 
 
 def _single_solve(cache: RolloutCache, params: CostParams, x0, u_init, lb, ub,
-                  solver: SolverConfig, full_cov: bool) -> SolveResult:
+                  solver: SolverConfig, full_cov: bool,
+                  delta: bool = False) -> SolveResult:
     def objective(u):
-        means, covs = rollout(cache, x0, u, full_cov=full_cov)
+        means, covs = rollout(cache, x0, u, full_cov=full_cov, delta=delta)
         return risk_sensitive_cost(params, means, covs, u)
 
     return solve_trajectory(objective, u_init, lb, ub, solver)
+
+
+def _params_axes(params: CostParams, b: int) -> CostParams:
+    """Per-leaf vmap axes: 0 where a cost parameter carries a leading (B,)
+    scenario axis, None where it is shared."""
+    def axis_of(v):
+        if v is None:
+            return None
+        return 0 if (hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b) else None
+
+    return CostParams(
+        Q=axis_of(params.Q) if params.Q.ndim == 3 else None,
+        R=None, gamma=axis_of(params.gamma),
+        x_ref=0 if params.x_ref.ndim == 2 else None,
+        u_ref=0 if params.u_ref.ndim == 2 else None,
+        R_delta=None,
+        u_prev=(0 if (params.u_prev is not None and params.u_prev.ndim == 2)
+                else None))
 
 
 def solve_batch(gp: GPState, state_dim: int, action_dim: int,
@@ -43,36 +64,44 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
                 lb, ub,
                 solver: SolverConfig = SolverConfig(),
                 u_init: Optional[jax.Array] = None,   # (B, H, da) or None
-                full_cov: bool = False) -> SolveResult:
+                full_cov: bool = False,
+                delta: bool = False,
+                impl: str = 'auto') -> SolveResult:
     """B independent solves against one shared GP posterior.
 
     The rollout cache (beta, trace matrices) is built ONCE and broadcast — the
     dominant per-solve precomputation is amortized across the whole batch.
     gamma (and u_prev/x_ref/u_ref) may carry a leading (B,) axis to sweep
     per-scenario cost parameters; scalar entries broadcast.
+
+    impl: 'fused' runs the explicitly-batched rollout + lockstep L-BFGS (the
+    production path — enables the batched Pallas kernels); 'vmap' vmaps the
+    single-scenario solve (the oracle twin); 'auto' picks 'fused' whenever the
+    configuration supports it (diag covariance + L-BFGS).
     """
     b = x0s.shape[0]
     cache = build_rollout_cache(gp, state_dim, action_dim)
     if u_init is None:
         u_init = jnp.zeros((b, horizon, action_dim), x0s.dtype)
 
-    def axis_of(v):
-        if v is None:
-            return None
-        return 0 if (hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b) else None
+    if impl == 'auto':
+        impl = 'fused' if (not full_cov and solver.method == 'lbfgs') else 'vmap'
 
-    params_axes = CostParams(
-        Q=axis_of(params.Q) if params.Q.ndim == 3 else None,
-        R=None, gamma=axis_of(params.gamma),
-        x_ref=0 if params.x_ref.ndim == 2 else None,
-        u_ref=0 if params.u_ref.ndim == 2 else None,
-        R_delta=None,
-        u_prev=(0 if (params.u_prev is not None and params.u_prev.ndim == 2)
-                else None))
+    params_axes = _params_axes(params, b)
+
+    if impl == 'fused':
+        cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
+
+        def objective_b(u):                       # (B, H, da) -> (B,)
+            means, covs = rollout_batched(cache, x0s, u, delta=delta)
+            return cost_b(params, means, covs, u)
+
+        return solve_trajectory_batched(objective_b, u_init, lb, ub, solver)
 
     fn = jax.vmap(_single_solve,
-                  in_axes=(None, params_axes, 0, 0, None, None, None, None))
-    return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov)
+                  in_axes=(None, params_axes, 0, 0, None, None, None, None,
+                           None))
+    return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov, delta)
 
 
 def solve_batch_gp(gps: GPState, state_dim: int, action_dim: int,

@@ -1,0 +1,220 @@
+"""Explicit-batch path == vmapped path.
+
+The fused production path (dynamics.rollout_batched +
+mpc.solver.solve_trajectory_batched + the batched Pallas variance-trace
+kernel) must be numerically identical to vmap of the single-scenario code —
+same rollout moments, same gradients, same solver trajectory. These tests pin
+that equivalence on CPU (Pallas kernels run interpreted when forced via
+GPMPC_FORCE_PALLAS; default CPU dispatch uses the jnp twin).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gpmpc_tpu.dynamics import build_rollout_cache, rollout, rollout_batched
+from gpmpc_tpu.gp import state as gs
+from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
+from gpmpc_tpu.mpc.solver import (SolverConfig, solve_trajectory,
+                                  solve_trajectory_batched)
+from gpmpc_tpu.ops.pallas import variance_trace as vt
+from gpmpc_tpu.parallel import batch as pbatch
+
+
+def _make_gp(n=24, cap=32, ds=2, da=1, dtype=jnp.float64, seed=0):
+    rng = np.random.default_rng(seed)
+    states = rng.uniform(-1, 1, (n, ds))
+    actions = rng.uniform(-1, 1, (n, da))
+    next_states = states + 0.1 * actions + 0.05 * np.sin(states)
+    x = np.concatenate([states, actions], axis=1)
+    cfg = gs.GPConfig(capacity=cap, x_dim=ds + da, out_dim=ds)
+    gp = gs.make_gp(cfg, x, next_states, log_lambdas=np.log([2.0] * (ds + da)),
+                    log_sigma_f=0.0, log_sigma_n=np.log(1e-2), dtype=dtype)
+    return gp, ds, da
+
+
+class TestBatchedRollout:
+    def test_matches_vmap_rollout(self):
+        gp, ds, da = _make_gp()
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 5, 6
+        rng = np.random.default_rng(1)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        us = jnp.asarray(rng.uniform(-1, 1, (b, h, da)))
+
+        m_ref, c_ref = jax.vmap(lambda x0, u: rollout(cache, x0, u))(x0s, us)
+        m_b, c_b = rollout_batched(cache, x0s, us)
+        np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_matches_vmap_rollout_delta(self):
+        gp, ds, da = _make_gp(seed=3)
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 4, 5
+        rng = np.random.default_rng(2)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        us = jnp.asarray(rng.uniform(-1, 1, (b, h, da)))
+
+        m_ref, c_ref = jax.vmap(
+            lambda x0, u: rollout(cache, x0, u, delta=True))(x0s, us)
+        m_b, c_b = rollout_batched(cache, x0s, us, delta=True)
+        np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_gradients_match_vmap(self):
+        gp, ds, da = _make_gp(seed=5)
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 3, 4
+        rng = np.random.default_rng(4)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        us = jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, da)))
+
+        def loss_vmap(u):
+            m, c = jax.vmap(lambda x0, uu: rollout(cache, x0, uu))(x0s, u)
+            return jnp.sum(m ** 2) + jnp.sum(jnp.diagonal(c, axis1=2, axis2=3))
+
+        def loss_batched(u):
+            m, c = rollout_batched(cache, x0s, u)
+            return jnp.sum(m ** 2) + jnp.sum(jnp.diagonal(c, axis1=2, axis2=3))
+
+        g_ref = jax.grad(loss_vmap)(us)
+        g_b = jax.grad(loss_batched)(us)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
+                                   rtol=1e-9, atol=1e-11)
+
+
+class TestBatchedSolver:
+    def _setup(self):
+        gp, ds, da = _make_gp()
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 4, 5
+        rng = np.random.default_rng(7)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        gammas = jnp.asarray(np.linspace(-0.5, 0.5, b))
+        params = CostParams(Q=2.0 * jnp.eye(ds), R=0.1 * jnp.eye(da),
+                            gamma=gammas, x_ref=jnp.zeros(ds),
+                            u_ref=jnp.zeros(da))
+        return gp, cache, ds, da, b, h, x0s, params
+
+    def test_fused_solve_matches_vmap_solve(self):
+        # The two paths are the same algorithm but not bitwise identical
+        # (batched einsum vs per-lane dot reassociates floating point), so a
+        # lane can cross the convergence threshold an iteration apart. Compare
+        # the optima they reach, not the iteration-by-iteration trajectory.
+        gp, cache, ds, da, b, h, x0s, params = self._setup()
+        solver = SolverConfig(method='lbfgs', max_iters=100, tol=1e-8)
+        res_v = pbatch.solve_batch(gp, ds, da, x0s, params, h, -1.0, 1.0,
+                                   solver, impl='vmap')
+        res_f = pbatch.solve_batch(gp, ds, da, x0s, params, h, -1.0, 1.0,
+                                   solver, impl='fused')
+        np.testing.assert_allclose(np.asarray(res_f.u), np.asarray(res_v.u),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_f.cost),
+                                   np.asarray(res_v.cost),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_fused_objective_matches_vmap_objective(self):
+        # Bitwise-level check at the objective level: batched rollout + batched
+        # cost vs vmap of the single-scenario objective, values and gradients.
+        gp, cache, ds, da, b, h, x0s, params = self._setup()
+        rng = np.random.default_rng(13)
+        u = jnp.asarray(rng.uniform(-1, 1, (b, h, da)))
+        gammas = params.gamma
+
+        from gpmpc_tpu.dynamics import rollout, rollout_batched
+
+        def obj_vmap(u):
+            def one(x0, uu, gam):
+                m, c = rollout(cache, x0, uu)
+                return risk_sensitive_cost(params._replace(gamma=gam), m, c, uu)
+            return jax.vmap(one)(x0s, u, gammas)
+
+        cost_b = jax.vmap(risk_sensitive_cost,
+                          in_axes=(CostParams(Q=None, R=None, gamma=0,
+                                              x_ref=None, u_ref=None), 0, 0, 0))
+
+        def obj_fused(u):
+            m, c = rollout_batched(cache, x0s, u)
+            return cost_b(params, m, c, u)
+
+        np.testing.assert_allclose(np.asarray(obj_fused(u)),
+                                   np.asarray(obj_vmap(u)),
+                                   rtol=1e-10, atol=1e-12)
+        gv = jax.grad(lambda u: jnp.sum(obj_vmap(u)))(u)
+        gf = jax.grad(lambda u: jnp.sum(obj_fused(u)))(u)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gv),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_lockstep_lbfgs_on_quadratics(self):
+        # B independent strongly-convex quadratics with known box-constrained
+        # minimizers: x* = clip(target, lb, ub).
+        b, n = 6, 3
+        rng = np.random.default_rng(11)
+        targets = jnp.asarray(rng.uniform(-2, 2, (b, n, 1)))
+
+        def obj_b(x):
+            return jnp.sum((x - targets) ** 2, axis=(1, 2))
+
+        res = solve_trajectory_batched(
+            obj_b, jnp.zeros((b, n, 1)), -1.0, 1.0,
+            SolverConfig(max_iters=100, tol=1e-10))
+        expect = np.clip(np.asarray(targets), -1.0, 1.0)
+        np.testing.assert_allclose(np.asarray(res.u), expect, atol=1e-7)
+
+
+@pytest.mark.skipif(os.environ.get('GPMPC_FORCE_PALLAS') != '1'
+                    and jax.default_backend() != 'tpu',
+                    reason='interpreted Pallas is slow; opt in via '
+                           'GPMPC_FORCE_PALLAS=1')
+class TestBatchedPallasKernel:
+    def test_forward_matches_reference(self):
+        rng = np.random.default_rng(0)
+        b, e, n, d = 3, 2, 128, 3
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        m2r = rng.normal(size=(b, e, d, d))
+        m2 = jnp.asarray(m2r @ np.swapaxes(m2r, -1, -2) * 0.1
+                         + np.eye(d), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        br = rng.normal(size=(e, n, n)) * 0.01
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+
+        ref = vt.variance_trace_batched_reference(u, m2, x, blam)
+        out = vt.variance_trace_batched(u, m2, x, blam)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_backward_matches_reference(self):
+        rng = np.random.default_rng(1)
+        b, e, n, d = 2, 2, 128, 3
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        m2r = rng.normal(size=(b, e, d, d))
+        m2 = jnp.asarray(m2r @ np.swapaxes(m2r, -1, -2) * 0.1
+                         + np.eye(d), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        # the analytic VJP assumes symmetric blam (b_lam always is: it is
+        # (Kinv - beta beta^T) times symmetric elementwise factors)
+        br = rng.normal(size=(e, n, n)) * 0.01
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+
+        def loss_k(u, m2):
+            return jnp.sum(vt.variance_trace_batched(u, m2, x, blam) * ct)
+
+        def loss_r(u, m2):
+            return jnp.sum(
+                vt.variance_trace_batched_reference(u, m2, x, blam) * ct)
+
+        gu_k, gm_k = jax.grad(loss_k, argnums=(0, 1))(u, m2)
+        gu_r, gm_r = jax.grad(loss_r, argnums=(0, 1))(u, m2)
+        np.testing.assert_allclose(np.asarray(gu_k), np.asarray(gu_r),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
+                                   rtol=2e-4, atol=2e-5)
