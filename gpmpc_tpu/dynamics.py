@@ -179,27 +179,26 @@ def _step_batched(cache: RolloutCache, mean, cov_diag, action,
     b = mean.shape[0]
     dt = mean.dtype
     joint_mean = jnp.concatenate([mean, action], axis=1)          # (B, D)
-    diag = jnp.concatenate(
+    joint_diag = jnp.concatenate(
         [cov_diag, jnp.full((b, da), action_var, dt)], axis=1)    # (B, D)
-    joint_cov = diag[:, :, None] * jnp.eye(ds + da, dtype=dt)     # (B, D, D)
 
-    mean_fn = jax.vmap(jax.vmap(moments.mean_prop,
-                                in_axes=(None, None, None, 0, 0, 0, None)),
-                       in_axes=(0, 0, None, None, None, None, None))
-    gp_mean, l = mean_fn(joint_mean, joint_cov, cache.x, cache.beta,
-                         cache.log_lambdas, cache.log_sigma_f, cache.mask)
+    # The carried covariance is diagonal on this path, so the moment ops use
+    # the diagonal-S specializations: every (d, d) solve is an elementwise
+    # division (the generic small-Cholesky chains cost more in per-op launch
+    # latency than the whole step's math).
+    gp_mean, l = moments.mean_prop_batched_diag(
+        joint_mean, joint_diag, cache.x, cache.beta, cache.log_lambdas,
+        cache.log_sigma_f, cache.mask)
 
-    gp_var = moments.variance_prop_multi_batched(
-        joint_mean, joint_cov, cache.x, cache.b_lam, cache.log_lambdas,
+    gp_var = moments.variance_prop_multi_batched_diag(
+        joint_mean, joint_diag, cache.x, cache.b_lam, cache.log_lambdas,
         cache.log_sigma_f, gp_mean)                               # (B, E)
 
     min_var = 1e-8
     if delta:
-        io_fn = jax.vmap(jax.vmap(moments.input_output_cov,
-                                  in_axes=(None, None, None, 0, 0, 0)),
-                         in_axes=(0, 0, None, None, 0, None))
-        c_io = io_fn(joint_mean, joint_cov, cache.x, cache.beta, l,
-                     cache.log_lambdas)                           # (B, E, D)
+        c_io = moments.input_output_cov_batched_diag(
+            joint_mean, joint_diag, cache.x, cache.beta, l,
+            cache.log_lambdas)                                    # (B, E, D)
         c_state_diag = jnp.diagonal(c_io[:, :, :ds],
                                     axis1=1, axis2=2)             # (B, ds)
         new_mean = mean + gp_mean

@@ -176,6 +176,73 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
 
 
 @f32_matmul_precision
+def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask):
+    """Scenario-batched predictive mean for a DIAGONAL input covariance — the
+    moment-matching hot path (dynamics.rollout_batched carries a diagonal
+    state covariance, so S + Lambda is diagonal and every small-matrix solve
+    in the generic `mean_prop` collapses to elementwise division; this removes
+    the unrolled (d, d) Cholesky chains — dozens of XLA ops per scan step —
+    from the jitted program).
+
+    u: (B, d); s_diag: (B, d); x: (N, d); beta: (E, N); log_lambdas: (E, d);
+    log_sigma_f: (E,); mask: (N,) -> (means (B, E), l (B, E, N)).
+    """
+    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    spl = s_diag[:, None, :] + lam[None]                        # (B, E, d)
+    diff = u[:, None, :] - x[None]                              # (B, N, d)
+    # q_j = sum_k diff_jk^2 / spl_k
+    q = jnp.einsum('bnd,bed->ben', diff * diff, 1.0 / spl)      # (B, E, N)
+    log_det_corr = -0.5 * (jnp.sum(jnp.log(spl), axis=-1)
+                           - jnp.sum(log_lambdas, axis=-1)[None])   # (B, E)
+    l = jnp.exp(2.0 * log_sigma_f[None, :, None]
+                + log_det_corr[:, :, None] - 0.5 * q)
+    l = l * mask.astype(l.dtype)
+    return jnp.einsum('en,ben->be', beta, l), l
+
+
+def input_output_cov_batched_diag(u, s_diag, x, beta, l, log_lambdas):
+    """Scenario-batched diagonal-S twin of `input_output_cov`:
+    cov(x*, f_e) = sum_j beta_ej l_bej S (S + Lambda_e)^{-1} (x_j - u_b).
+
+    u: (B, d); s_diag: (B, d); x: (N, d); beta: (E, N); l: (B, E, N);
+    log_lambdas: (E, d) -> (B, E, d).
+    """
+    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    diff = x[None] - u[:, None, :]                              # (B, N, d)
+    w = jnp.einsum('en,ben,bnd->bed', beta, l, diff)            # (B, E, d)
+    scale = s_diag[:, None, :] / (s_diag[:, None, :] + lam[None])
+    return scale * w
+
+
+@f32_matmul_precision
+def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
+                                     log_sigma_f, means):
+    """Diagonal-S twin of `variance_prop_multi_batched`: hls = Lambda/2 + S is
+    diagonal, so m2 = 1/hls elementwise and the log-det is a sum of logs.
+
+    u: (B, d); s_diag: (B, d); x: (N, d); b_lam: (E, N, N); means: (B, E).
+    """
+    from gpmpc_tpu.ops.pallas import variance_trace as _vt
+
+    n, d = x.shape
+    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    hls = (lam / 2.0)[None] + s_diag[:, None, :]                # (B, E, d)
+    log_det_part = -0.5 * (jnp.sum(jnp.log(hls), axis=-1)
+                           - jnp.sum(log_lambdas - jnp.log(2.0),
+                                     axis=-1)[None])            # (B, E)
+    eye = jnp.eye(d, dtype=x.dtype)
+    m2 = eye * (1.0 / hls)[..., None, :]                        # (B, E, d, d)
+
+    if _vt.enabled_batched() and _vt.supported_batched(n, d, x.dtype):
+        t = _vt.variance_trace_batched(u, m2, x, b_lam)
+    else:
+        t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
+
+    return (jnp.exp(2.0 * log_sigma_f)[None]
+            - jnp.exp(log_det_part) * t - means ** 2)
+
+
+@f32_matmul_precision
 def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
     """Scenario-batched all-outputs variance propagation — the explicit-batch
     rollout hot path (see ops/pallas/variance_trace.py: the batched kernel

@@ -305,8 +305,13 @@ def _make_bfwd_kernel(btile: int):
         b0 = pl.program_id(1) * btile
         blam = blam_ref[0]
         for k in range(btile):
+            # precision=HIGHEST: the MXU rounds f32 operands to bf16 by
+            # default — a ~1e-3 relative error inside exp() that the outside
+            # f32_matmul_precision wrapper cannot fix (it does not reach into
+            # pallas_call).
             p = jnp.dot(g_ref[k, 0], a_ref[k].T,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             w = blam * jnp.exp(-0.25 * p)
             dv = dv_ref[k, 0, :, 0]
             t_ref[b0 + k, e] = jnp.sum(w * (dv[:, None] * dv[None, :]))
@@ -339,42 +344,45 @@ def _bfwd_call(g, a, dvec, blam):
     )(g, a, dvec[..., None], blam)
 
 
-def _make_bbwd_kernel(btile: int):
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, z0_ref, z_ref, z2_ref):
-        # Cell (e, bb): recompute W, emit the three small contractions
-        #   z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A   (r = W 1)
-        # for each of the cell's BT scenarios. The (d, N)-transposed MXU
-        # products that tripped the Mosaic RET_CHECK in the tiled kernel are
-        # replaced by VPU contractions over (N, d, d) — at d <= 8 that is
-        # N*d^2 elementwise work, cheaper than an MXU pass anyway.
+def _make_bcomb_kernel(btile: int):
+    """Combined forward+residual kernel: emits t AND the backward contractions
+    (z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A) in one pass over W. The
+    extra work is O(N d^2) on top of the O(N^2) W chain, so computing the
+    residuals here is ~free — while a separate backward kernel would have to
+    recompute the whole N^2 exp chain (the dominant cost). Used by the VJP
+    forward; the no-gradient path keeps the lean forward-only kernel."""
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, z_ref, z2_ref):
         e = pl.program_id(0)
         b0 = pl.program_id(1) * btile
         blam = blam_ref[0]
         for k in range(btile):
             a = a_ref[k]                                          # (N, d)
-            p = jnp.dot(g_ref[k, 0], a.T, preferred_element_type=jnp.float32)
+            p = jnp.dot(g_ref[k, 0], a.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
             dv = dv_ref[k, 0, :, 0]
             w = blam * jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
-            r = jnp.sum(w, axis=1)                                # (N,)
-            wa = jnp.dot(w, a, preferred_element_type=jnp.float32)  # (N, d)
-            # Outputs are full-array VMEM blocks (constant index map; tiny —
-            # (B,E,d,d) at d <= 8 is < 100 KB); each scenario stores its own
-            # (d,)/(d,d) slab.
-            z0_ref[b0 + k, e] = jnp.sum(a * r[:, None], axis=0)
+            # keepdims row sum: a rank-1 (N,) intermediate trips a Mosaic
+            # relayout bug ("non-singleton logical dimension is replicated");
+            # (N, 1) stays in a well-defined layout.
+            rk = jnp.sum(w, axis=1, keepdims=True)                # (N, 1)
+            t_ref[b0 + k, e] = jnp.sum(rk)
+            wa = jnp.dot(w, a, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)     # (N, d)
+            z0_ref[b0 + k, e] = jnp.sum(a * rk, axis=0)
             z_ref[b0 + k, e] = jnp.sum(a[:, :, None] * wa[:, None, :], axis=0)
             z2_ref[b0 + k, e] = jnp.sum(
-                a[:, :, None] * a[:, None, :] * r[:, None, None], axis=0)
+                a[:, :, None] * a[:, None, :] * rk[:, :, None], axis=0)
     return kernel
 
 
-def _bbwd_call(g, a, dvec, blam):
+def _bcomb_call(g, a, dvec, blam):
     b, e, n, d = g.shape
     bt = _btile(b)
     grid = (e, b // bt)
     full3 = lambda e_, b_: (0, 0, 0)
     full4 = lambda e_, b_: (0, 0, 0, 0)
     return pl.pallas_call(
-        _make_bbwd_kernel(bt),
+        _make_bcomb_kernel(bt),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
@@ -387,17 +395,37 @@ def _bbwd_call(g, a, dvec, blam):
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
+            pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
         ),
         out_shape=(
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
         ),
         interpret=_interpret(),
     )(g, a, dvec[..., None], blam)
+
+
+def _comb_reference(u, m2, x, blam):
+    """jnp twin of the combined kernel (CPU fallback + oracle)."""
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
+    p = jnp.einsum('bend,bmd->benm', g, a)         # (B, E, N, N)
+    q = jnp.sum(g * a[:, None], axis=-1)
+    dvec = jnp.exp(-0.125 * q)
+    w = (blam[None] * jnp.exp(-0.25 * p)
+         * dvec[:, :, :, None] * dvec[:, :, None, :])
+    r = jnp.sum(w, axis=-1)                        # (B, E, N)
+    t = jnp.sum(r, axis=-1)
+    z0 = jnp.einsum('bnd,ben->bed', a, r)
+    z = jnp.einsum('bnd,benm,bmk->bedk', a, w, a)
+    z2 = jnp.einsum('bnd,bnk,ben->bedk', a, a, r)
+    return t, z0, z, z2
 
 
 def _prep_batched(u, m2, x):
@@ -422,13 +450,16 @@ def variance_trace_batched(u, m2, x, blam):
 
 
 def _vtb_fwd(u, m2, x, blam):
-    return variance_trace_batched(u, m2, x, blam), (u, m2, x, blam)
+    # One combined kernel pass: t plus the backward contractions as residuals
+    # (the alternative — a separate backward kernel — re-runs the whole O(N^2)
+    # exp chain; the residuals are only O(E d^2) per scenario).
+    a, g, dvec = _prep_batched(u, m2, x)
+    t, z0, z, z2 = _bcomb_call(g, a, dvec, blam)
+    return t, (m2, z0, z, z2, x, blam)
 
 
 def _vtb_bwd(res, ct):
-    u, m2, x, blam = res
-    a, g, dvec = _prep_batched(u, m2, x)
-    z0, z, z2 = _bbwd_call(g, a, dvec, blam)       # (B,E,d), (B,E,d,d) x2
+    m2, z0, z, z2, x, blam = res
     du = -jnp.einsum('be,bedk,bek->bd', ct, m2, z0)
     dm2 = -0.25 * ct[:, :, None, None] * (z2 + z)
     return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)

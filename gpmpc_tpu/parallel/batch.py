@@ -104,6 +104,67 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
     return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov, delta)
 
 
+def solve_batch_sharded(mesh, gp: GPState, state_dim: int, action_dim: int,
+                        x0s: jax.Array, params: CostParams, horizon: int,
+                        lb, ub, solver: SolverConfig = SolverConfig(),
+                        full_cov: bool = False, delta: bool = False,
+                        impl: str = 'auto',
+                        axis: str = 'batch') -> SolveResult:
+    """Multi-chip scenario fan-out: `solve_batch` under shard_map over the
+    mesh's batch axis.
+
+    NamedSharding alone cannot partition this program — the fused path's
+    Pallas kernels are opaque custom calls XLA's SPMD partitioner would have
+    to replicate — so the batch axis is split EXPLICITLY: each device runs the
+    whole solve on its local B/n_devices scenario shard against the replicated
+    GP posterior. Solves are independent, so no collectives are needed (the
+    scaling-efficiency ceiling is pure DP; ICI stays idle by design).
+
+    B must be divisible by the mesh's batch-axis size. Per-scenario leaves of
+    `params` (leading dim == B) are sharded; shared leaves are replicated.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    try:
+        from jax import shard_map            # jax >= 0.4.35
+    except ImportError:                      # pragma: no cover
+        from jax.experimental.shard_map import shard_map
+
+    b = x0s.shape[0]
+    n_dev = mesh.shape[axis]
+    if b % n_dev != 0:
+        raise ValueError(f"batch {b} not divisible by mesh axis size {n_dev}")
+
+    def leaf_spec(v):
+        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
+            return P(axis)
+        return P()
+
+    params_spec = jax.tree.map(leaf_spec, params,
+                               is_leaf=lambda v: v is None)
+    gp_spec = jax.tree.map(lambda _: P(), gp)
+
+    def local_solve(gp, x0s, params):
+        return solve_batch(gp, state_dim, action_dim, x0s, params, horizon,
+                           lb, ub, solver, full_cov=full_cov, delta=delta,
+                           impl=impl)
+
+    # Disable the varying-manual-axes / replication checker: the solve mixes
+    # replicated operands (the GP cache) into per-shard scan carries, which
+    # the static checker cannot type without pcast annotations throughout.
+    # The computation is embarrassingly parallel — no collectives to get wrong.
+    import inspect
+    kwargs = {}
+    sig = inspect.signature(shard_map)
+    if 'check_vma' in sig.parameters:
+        kwargs['check_vma'] = False
+    elif 'check_rep' in sig.parameters:
+        kwargs['check_rep'] = False
+    fn = shard_map(local_solve, mesh=mesh,
+                   in_specs=(gp_spec, P(axis), params_spec),
+                   out_specs=P(axis), **kwargs)
+    return fn(gp, x0s, params)
+
+
 def solve_batch_gp(gps: GPState, state_dim: int, action_dim: int,
                    x0s: jax.Array, params: CostParams, horizon: int,
                    lb, ub, solver: SolverConfig = SolverConfig(),

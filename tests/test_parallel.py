@@ -93,3 +93,36 @@ class TestBatch:
                                    atol=1e-10)
         # The result really is distributed over the batch axis.
         assert len(u_sh.sharding.device_set) == 8
+
+
+class TestShardMap:
+    def test_shard_map_solve_matches_unsharded(self):
+        """solve_batch_sharded (the multi-chip production path: explicit
+        shard_map split, per-device Pallas-capable local solves) == the
+        single-device solve, on the 8-virtual-device CPU mesh."""
+        gp = _gp()
+        b = 8
+        x0s = jnp.asarray(RNG.uniform(-1, 1, (b, DS)))
+        gammas = jnp.asarray(np.linspace(-0.5, 0.5, b))
+        mesh = pmesh.make_mesh()
+        res_ref = pbatch.solve_batch(gp, DS, DA, x0s, _params(gammas), H,
+                                     -1.0, 1.0, SOLVER)
+        res_sh = pbatch.solve_batch_sharded(mesh, gp, DS, DA, x0s,
+                                            _params(gammas), H, -1.0, 1.0,
+                                            SOLVER)
+        np.testing.assert_allclose(np.asarray(res_sh.u), np.asarray(res_ref.u),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(res_sh.cost),
+                                   np.asarray(res_ref.cost),
+                                   rtol=1e-8, atol=1e-10)
+
+    def test_shard_map_rejects_indivisible_batch(self):
+        gp = _gp()
+        mesh = pmesh.make_mesh()
+        x0s = jnp.asarray(RNG.uniform(-1, 1, (6, DS)))
+        try:
+            pbatch.solve_batch_sharded(mesh, gp, DS, DA, x0s, _params(0.0), H,
+                                       -1.0, 1.0, SOLVER)
+            assert False, "expected ValueError"
+        except ValueError:
+            pass
