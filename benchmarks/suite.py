@@ -1,0 +1,239 @@
+"""BASELINE.json config suite — one runnable benchmark per target config.
+
+Prints one JSON line per config:  {"config": k, "metric": ..., "value": ...}.
+Each config is scaled to the machine it runs on (one chip here; config 5's
+pod-scale fan-out runs the same shard_map program over however many devices
+exist — on a multi-host pod the mesh simply gets bigger).
+
+Configs (BASELINE.json):
+  1. Pendulum, exact GP N=200, gamma=0 risk-neutral, H=20, single solve.
+  2. Pendulum gamma sweep {-1, -1e-2, 0, 1e-2, 1e-5}, variance propagation on.
+  3. Cartpole (4D state), N=1000, B=256 initial-state solves on one chip.
+  4. Sparse/inducing-point GP (M=128), FULL cross-output covariance, H=50.
+  5. Monte-Carlo fan-out: scenario x hyperparameter-draw solves over a mesh.
+
+Usage: python benchmarks/suite.py [k ...]   (default: all)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _setup():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_gpmpc')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
+    return jax
+
+
+def _pendulum_gp(n_train, capacity, dtype, seed=0):
+    import jax.numpy as jnp
+    from gpmpc_tpu.gp import state as gs
+    rng = np.random.default_rng(seed)
+    ds, da = 2, 1
+    states = rng.uniform(-np.pi, np.pi, (n_train, ds))
+    actions = rng.uniform(-5, 5, (n_train, da))
+    next_states = states + 0.05 * np.concatenate(
+        [states[:, 1:], 15 * np.sin(states[:, :1]) + 3 * actions], axis=1)
+    x = np.concatenate([states, actions], axis=1)
+    cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
+    gp = gs.make_gp(cfg, x, next_states, log_lambdas=np.log([4.0] * (ds + da)),
+                    log_sigma_f=0.0, log_sigma_n=np.log(0.1), dtype=dtype)
+    return gp, ds, da
+
+
+def _time(fn, fresh_args, n_rep=3):
+    """Min-of-n wall time; fresh inputs per rep + host fetch inside the
+    region (axon: identical buffers hit an execution cache; execution is
+    deferred until materialization)."""
+    import jax
+    out = fn(*fresh_args(0))
+    np.asarray(jax.tree.leaves(out)[0])
+    ts = []
+    for i in range(1, n_rep + 1):
+        args = fresh_args(i)
+        t0 = time.perf_counter()
+        out = fn(*args)
+        np.asarray(jax.tree.leaves(out)[0])
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+
+def config1():
+    """Single risk-neutral solve latency (p50 per-step control latency)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from gpmpc_tpu.dynamics import build_rollout_cache, rollout
+    from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
+    from gpmpc_tpu.mpc.solver import SolverConfig, solve_trajectory
+
+    dtype = jnp.float32
+    gp, ds, da = _pendulum_gp(200, 256, dtype)
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype),
+                        gamma=jnp.zeros((), dtype),
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    solver = SolverConfig(max_iters=40, tol=1e-4)
+
+    @jax.jit
+    def solve(gp, x0):
+        cache = build_rollout_cache(gp, ds, da)
+
+        def objective(u):
+            m, c = rollout(cache, x0, u)
+            return risk_sensitive_cost(params, m, c, u)
+
+        return solve_trajectory(objective, jnp.zeros((20, da), dtype),
+                                -5.0, 5.0, solver)
+
+    rng = np.random.default_rng(1)
+    dt = _time(lambda x0: solve(gp, x0),
+               lambda i: (jnp.asarray(rng.uniform(-1, 1, ds), dtype),))
+    print(json.dumps({"config": 1, "metric": "single_solve_latency_ms",
+                      "value": round(dt * 1e3, 2), "unit": "ms",
+                      "note": "gamma=0, H=20, N=200 exact GP"}))
+
+
+def config2():
+    """Reference gamma sweep as one batched solve; verifies risk ordering."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from gpmpc_tpu.mpc.cost import CostParams
+    from gpmpc_tpu.mpc.solver import SolverConfig
+    from gpmpc_tpu.parallel import batch as pbatch
+
+    dtype = jnp.float32
+    gp, ds, da = _pendulum_gp(200, 256, dtype)
+    gammas = jnp.asarray([-1.0, -1e-2, 0.0, 1e-2, 1e-5], dtype)
+    b = gammas.shape[0]
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype), gamma=gammas,
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    solver = SolverConfig(max_iters=40, tol=1e-4)
+    x0s = jnp.broadcast_to(jnp.asarray([1.0, 0.0], dtype), (b, ds))
+
+    solve = jax.jit(lambda x0s: pbatch.solve_batch(
+        gp, ds, da, x0s, params, 20, -5.0, 5.0, solver))
+    dt = _time(solve, lambda i: (x0s + 1e-4 * i,))
+    res = solve(x0s)
+    assert np.all(np.isfinite(np.asarray(res.cost)))
+    print(json.dumps({"config": 2, "metric": "gamma_sweep_latency_ms",
+                      "value": round(dt * 1e3, 2), "unit": "ms",
+                      "note": "5 gammas batched, H=20"}))
+
+
+def config3():
+    """Cartpole 4D, N=1000 train pts, 256 initial-state solves on one chip."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from gpmpc_tpu.envs import cartpole as cp
+    from gpmpc_tpu.gp import state as gs
+    from gpmpc_tpu.mpc.cost import CostParams
+    from gpmpc_tpu.mpc.solver import SolverConfig
+    from gpmpc_tpu.parallel import batch as pbatch
+
+    dtype = jnp.float32
+    ds, da = 4, 1
+    st, ac, ns = cp.sample_transitions(jax.random.PRNGKey(0), 1000)
+    x = jnp.concatenate([st, ac], axis=1)
+    cfg = gs.GPConfig(capacity=1024, x_dim=ds + da, out_dim=ds)
+    gp = gs.make_gp(cfg, np.asarray(x, np.float64), np.asarray(ns, np.float64),
+                    log_lambdas=np.log([2.0] * (ds + da)), log_sigma_f=0.0,
+                    log_sigma_n=np.log(0.1), dtype=dtype)
+
+    b, horizon = 256, 10
+    rng = np.random.default_rng(3)
+    params = CostParams(Q=jnp.eye(ds, dtype=dtype),
+                        R=0.1 * jnp.eye(da, dtype=dtype),
+                        gamma=jnp.zeros((), dtype),
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    solver = SolverConfig(max_iters=40, tol=1e-4)
+    solve = jax.jit(lambda x0s: pbatch.solve_batch(
+        gp, ds, da, x0s, params, horizon, -1.0, 1.0, solver).cost)
+    dt = _time(solve,
+               lambda i: (jnp.asarray(rng.uniform(-0.2, 0.2, (b, ds)), dtype),))
+    print(json.dumps({"config": 3, "metric": "cartpole_solves_per_s",
+                      "value": round(b / dt, 1), "unit": "solves/s",
+                      "note": "N=1000 (cap 1024), B=256, H=10"}))
+
+
+def config4():
+    """Sparse GP (M=128 inducing) with FULL covariance propagation at H=50."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from gpmpc_tpu.dynamics import build_rollout_cache, rollout
+    from gpmpc_tpu.gp import sparse as gsp
+
+    dtype = jnp.float32
+    gp_exact, ds, da = _pendulum_gp(1000, 1024, dtype)
+    rng = np.random.default_rng(4)
+    sel = rng.choice(1000, 128, replace=False)
+    z = jnp.asarray(np.asarray(gp_exact.x)[sel], dtype)
+    sp, _ml = gsp.fit_sparse(z, gp_exact.x, gp_exact.y,
+                             gp_exact.log_lambdas, gp_exact.log_sigma_f,
+                             gp_exact.log_sigma_n, mask=gp_exact.mask)
+    cache = build_rollout_cache(sp, ds, da)
+
+    @jax.jit
+    def roll(x0, u):
+        return rollout(cache, x0, u, full_cov=True)
+
+    horizon = 50
+    u = jnp.zeros((horizon, da), dtype)
+    dt = _time(lambda x0: roll(x0, u),
+               lambda i: (jnp.asarray(rng.uniform(-1, 1, ds), dtype),))
+    print(json.dumps({"config": 4, "metric": "sparse_fullcov_rollout_ms",
+                      "value": round(dt * 1e3, 2), "unit": "ms",
+                      "note": "M=128 FITC, full cross-output covariance, H=50"}))
+
+
+def config5():
+    """Monte-Carlo fan-out over the device mesh: scenario x gamma solves via
+    shard_map (the pod program; mesh size = whatever this host has)."""
+    jax = _setup()
+    import jax.numpy as jnp
+    from gpmpc_tpu.mpc.cost import CostParams
+    from gpmpc_tpu.mpc.solver import SolverConfig
+    from gpmpc_tpu.parallel import batch as pbatch
+    from gpmpc_tpu.parallel import mesh as pmesh
+
+    dtype = jnp.float32
+    gp, ds, da = _pendulum_gp(200, 256, dtype)
+    n_dev = len(jax.devices())
+    b = 256 * n_dev
+    rng = np.random.default_rng(5)
+    gammas = jnp.asarray(np.linspace(-0.5, 0.5, b), dtype)
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype), gamma=gammas,
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    solver = SolverConfig(max_iters=40, tol=1e-4)
+    mesh = pmesh.make_mesh()
+
+    solve = jax.jit(lambda x0s: pbatch.solve_batch_sharded(
+        mesh, gp, ds, da, x0s, params, 20, -5.0, 5.0, solver).cost)
+    dt = _time(solve,
+               lambda i: (jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype),))
+    print(json.dumps({"config": 5, "metric": "mc_fanout_solves_per_s",
+                      "value": round(b / dt, 1), "unit": "solves/s",
+                      "note": f"shard_map over {n_dev} device(s), B={b}"}))
+
+
+CONFIGS = {1: config1, 2: config2, 3: config3, 4: config4, 5: config5}
+
+
+def main():
+    ks = [int(a) for a in sys.argv[1:]] or sorted(CONFIGS)
+    for k in ks:
+        CONFIGS[k]()
+
+
+if __name__ == '__main__':
+    main()

@@ -22,9 +22,21 @@ reference's detach semantics, dynamics.py:170-171):
     dt/du  = -M2 A^T r
     dt/dM2 = -1/4 (A^T diag(r) A + A^T W A)
 
-derived from e_ij = -1/2 abar^T M2 abar, abar = (a_i + a_j)/2. The backward
-kernel recomputes W tile-wise and accumulates z0 = A^T r, Z = A^T W A and
-Z2 = A^T diag(r) A — all (d,)/(d, d) outputs, nothing (N, N) ever hits HBM.
+derived from e_ij = -1/2 abar^T M2 abar, abar = (a_i + a_j)/2 (valid for
+SYMMETRIC blam and M2 — always true here). In the production batched path the
+FORWARD kernel emits z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A alongside t
+during the VJP (one pass over W instead of a forward + a recompute-W backward;
+the residuals are O(N d^2) extra work on top of the O(N^2) W chain), so the
+backward is pure (d, d) elementwise math. Nothing (N, N) ever hits HBM.
+
+Mosaic pitfalls baked into these kernels (do not "simplify" them away):
+  - every jnp.dot carries precision=HIGHEST — pallas dots default to bf16
+    MXU operand rounding regardless of any outer default_matmul_precision;
+  - row sums are keepdims (N, 1) — rank-1 (N,) intermediates trip a Mosaic
+    relayout bug;
+  - residual contractions use (N, d, d) broadcasts — measured FASTER than
+    dot_general over the leading axis (transposed tiny matmul) and than
+    exporting (B, E, N, d) operands to XLA einsums (VMEM-padding OOM).
 """
 
 from __future__ import annotations
@@ -281,18 +293,30 @@ def enabled_batched() -> bool:
 
 
 def supported_batched(n: int, d: int, dtype) -> bool:
-    """Full-N blocks (no i/j tiling): blam block (N, N) f32 must sit in VMEM
-    alongside the (N, N) work tile — N <= 1024 keeps the cell under ~12 MB."""
-    return n % 128 == 0 and 128 <= n <= 1024 and d <= 8 and dtype == jnp.float32
+    """n <= 512 runs the full-N-block kernels; 512 < n <= 2048 the j-tiled
+    variants (the ~6 N^2 floats of live work per scenario no longer fit VMEM
+    whole at N = 1024)."""
+    return n % 128 == 0 and 128 <= n <= 2048 and d <= 8 and dtype == jnp.float32
 
 
-def _btile(b: int) -> int:
+_FULL_N_MAX = 512
+
+
+def _btile(b: int, n: int) -> int:
     """Scenarios per grid cell: amortizes the fixed per-cell cost (DMA setup,
-    grid bookkeeping) that dominated the first (one-cell-per-scenario) layout."""
+    grid bookkeeping) that dominated the first (one-cell-per-scenario) layout.
+    Mosaic stack-allocates the unrolled scenarios' (N, N) temporaries
+    simultaneously (~6 N^2 floats each), so the tile shrinks with N to stay
+    inside the 16 MB VMEM budget."""
+    budget = max(1, (2 * 1024 * 1024) // (n * n // 32))   # 8 at N=256, 2 at 512
     for bt in (8, 4, 2):
-        if b % bt == 0:
+        if bt <= budget and b % bt == 0:
             return bt
     return 1
+
+
+def _jtile(n: int) -> int:
+    return 256 if n % 256 == 0 else 128
 
 
 def _make_bfwd_kernel(btile: int):
@@ -322,7 +346,9 @@ def _bfwd_call(g, a, dvec, blam):
     """g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N); blam: (E, N, N)
     -> t (B, E)."""
     b, e, n, d = g.shape
-    bt = _btile(b)
+    if n > _FULL_N_MAX:
+        return _bfwd_call_tiled(g, a, dvec, blam)
+    bt = _btile(b, n)
     grid = (e, b // bt)                 # b innermost: blam block stays resident
     return pl.pallas_call(
         _make_bfwd_kernel(bt),
@@ -376,8 +402,11 @@ def _make_bcomb_kernel(btile: int):
 
 
 def _bcomb_call(g, a, dvec, blam):
+    """Returns (t, z0, zs) with zs = Z + Z2 (all the VJP needs)."""
     b, e, n, d = g.shape
-    bt = _btile(b)
+    if n > _FULL_N_MAX:
+        return _bcomb_call_tiled(g, a, dvec, blam)
+    bt = _btile(b, n)
     grid = (e, b // bt)
     full3 = lambda e_, b_: (0, 0, 0)
     full4 = lambda e_, b_: (0, 0, 0, 0)
@@ -405,6 +434,129 @@ def _bcomb_call(g, a, dvec, blam):
             jax.ShapeDtypeStruct((b, e), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+# ------------------------------------------------------------ large-N tiled --
+# For N > _FULL_N_MAX the ~6 N^2 floats of live (N, N) work per scenario no
+# longer fit VMEM (at N = 1024 that is 24 MB). The full (N, N) blam block
+# itself still fits (4 MB), so the grid stays (E, B) with blam resident and
+# the kernel tiles the trailing training-point axis with an inner fori_loop:
+# per j-step temporaries are (N, TJ) and the row-sum / W@A accumulators are
+# small functional carries — no B-sized scratch (which would be lane-padded
+# to 128 and explode).
+
+
+def _make_bfwd_tiled_kernel(n: int, tj: int):
+    nj = n // tj
+
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
+        e = pl.program_id(0)
+        b = pl.program_id(1)
+        g = g_ref[0, 0]
+        dv = dv_ref[0, 0]                                         # (N, 1)
+
+        def body(j, acc):
+            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
+            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
+            dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
+            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            w = blam_j * jnp.exp(-0.25 * p) * dv * dvj.T
+            return acc + jnp.sum(w)
+
+        t_ref[b, e] = jax.lax.fori_loop(0, nj, body, jnp.float32(0.0))
+    return kernel
+
+
+def _bfwd_call_tiled(g, a, dvec, blam):
+    b, e, n, d = g.shape
+    grid = (e, b)
+    return pl.pallas_call(
+        _make_bfwd_tiled_kernel(n, _jtile(n)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda e, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, 1), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+def _make_bcomb_tiled_kernel(n: int, tj: int):
+    nj = n // tj
+
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, zs_ref):
+        e = pl.program_id(0)
+        b = pl.program_id(1)
+        g = g_ref[0, 0]
+        a = a_ref[0]                                              # (N, d)
+        dv = dv_ref[0, 0]                                         # (N, 1)
+        d = a.shape[1]
+
+        def body(j, carry):
+            rk, wa = carry
+            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
+            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
+            dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
+            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            w = blam_j * jnp.exp(-0.25 * p) * dv * dvj.T
+            rk = rk + jnp.sum(w, axis=1, keepdims=True)
+            wa = wa + jnp.dot(w, aj, preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
+            return rk, wa
+
+        rk0 = jnp.zeros((n, 1), jnp.float32)
+        wa0 = jnp.zeros((n, d), jnp.float32)
+        rk, wa = jax.lax.fori_loop(0, nj, body, (rk0, wa0))
+        t_ref[b, e] = jnp.sum(rk)
+        z0_ref[b, e] = jnp.sum(a * rk, axis=0)
+        war = wa + a * rk                 # W A + diag(r) A, summed form
+        zs_ref[b, e] = jnp.sum(a[:, :, None] * war[:, None, :], axis=0)
+    return kernel
+
+
+def _bcomb_call_tiled(g, a, dvec, blam):
+    """Returns (t, z0, zs) with zs = Z + Z2 (the VJP only ever uses the sum)."""
+    b, e, n, d = g.shape
+    grid = (e, b)
+    full3 = lambda e_, b_: (0, 0, 0)
+    full4 = lambda e_, b_: (0, 0, 0, 0)
+    return pl.pallas_call(
+        _make_bcomb_tiled_kernel(n, _jtile(n)),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, n, d), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, d), lambda e, b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n, 1), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
             jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
         ),
         interpret=_interpret(),
@@ -454,14 +606,19 @@ def _vtb_fwd(u, m2, x, blam):
     # (the alternative — a separate backward kernel — re-runs the whole O(N^2)
     # exp chain; the residuals are only O(E d^2) per scenario).
     a, g, dvec = _prep_batched(u, m2, x)
-    t, z0, z, z2 = _bcomb_call(g, a, dvec, blam)
-    return t, (m2, z0, z, z2, x, blam)
+    out = _bcomb_call(g, a, dvec, blam)
+    if len(out) == 4:                   # full-N kernel: separate Z, Z2
+        t, z0, z, z2 = out
+        zs = z + z2
+    else:                               # tiled kernel emits the sum directly
+        t, z0, zs = out
+    return t, (m2, z0, zs, x, blam)
 
 
 def _vtb_bwd(res, ct):
-    m2, z0, z, z2, x, blam = res
+    m2, z0, zs, x, blam = res
     du = -jnp.einsum('be,bedk,bek->bd', ct, m2, z0)
-    dm2 = -0.25 * ct[:, :, None, None] * (z2 + z)
+    dm2 = -0.25 * ct[:, :, None, None] * zs
     return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
 
 

@@ -218,3 +218,36 @@ class TestBatchedPallasKernel:
                                    rtol=2e-4, atol=2e-5)
         np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
                                    rtol=2e-4, atol=2e-5)
+
+    def test_tiled_large_n_matches_reference(self):
+        # N > 512 dispatches the j-tiled kernels (inner fori over blam
+        # column slices); verify forward and gradients against the jnp twin.
+        rng = np.random.default_rng(2)
+        b, e, n, d = 2, 2, 768, 3
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        m2r = rng.normal(size=(b, e, d, d))
+        m2 = jnp.asarray(m2r @ np.swapaxes(m2r, -1, -2) * 0.1
+                         + np.eye(d), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        br = rng.normal(size=(e, n, n)) * 0.01
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+
+        ref = vt.variance_trace_batched_reference(u, m2, x, blam)
+        out = vt.variance_trace_batched(u, m2, x, blam)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        def loss_k(u, m2):
+            return jnp.sum(vt.variance_trace_batched(u, m2, x, blam) * ct)
+
+        def loss_r(u, m2):
+            return jnp.sum(
+                vt.variance_trace_batched_reference(u, m2, x, blam) * ct)
+
+        gu_k, gm_k = jax.grad(loss_k, argnums=(0, 1))(u, m2)
+        gu_r, gm_r = jax.grad(loss_r, argnums=(0, 1))(u, m2)
+        np.testing.assert_allclose(np.asarray(gu_k), np.asarray(gu_r),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
+                                   rtol=2e-3, atol=2e-4)
