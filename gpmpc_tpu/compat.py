@@ -177,7 +177,10 @@ class _GPRView:
         dt = s.log_lambdas.dtype
         if 'lambdas' in kw:
             val = jnp.log(jnp.asarray(kw['lambdas'], dt))
-            s = s.replace(log_lambdas=s.log_lambdas.at[i].set(val))
+            # Per-output setter: can't cheaply prove the rows still tie.
+            s = s.replace(
+                log_lambdas=s.log_lambdas.at[i].set(val),
+                config=s.config.replace(tied_lambdas=False))
         if 'sigma_f' in kw:
             s = s.replace(log_sigma_f=s.log_sigma_f.at[i].set(
                 jnp.log(jnp.asarray(kw['sigma_f'], dt))))

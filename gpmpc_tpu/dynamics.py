@@ -43,6 +43,9 @@ class RolloutCache(NamedTuple):
     log_sigma_f: jax.Array  # (E,)
     state_dim: int
     action_dim: int
+    # Static hint from GPConfig.tied_lambdas: all outputs share lengthscales,
+    # enabling the shared-exp-chain variance kernel (perf only, never results).
+    tied_lambdas: bool = False
 
 
 def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> RolloutCache:
@@ -53,6 +56,7 @@ def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> Rollout
         x=gp.x, mask=gp.mask, beta=gp.beta, b_lam=vcache.b_lam,
         log_lambdas=gp.log_lambdas, log_sigma_f=gp.log_sigma_f,
         state_dim=state_dim, action_dim=action_dim,
+        tied_lambdas=bool(gp.config.tied_lambdas),
     )
 
 
@@ -192,7 +196,7 @@ def _step_batched(cache: RolloutCache, mean, cov_diag, action,
 
     gp_var = moments.variance_prop_multi_batched_diag(
         joint_mean, joint_diag, cache.x, cache.b_lam, cache.log_lambdas,
-        cache.log_sigma_f, gp_mean)                               # (B, E)
+        cache.log_sigma_f, gp_mean, tied=cache.tied_lambdas)      # (B, E)
 
     min_var = 1e-8
     if delta:

@@ -95,7 +95,9 @@ def fit_sparse(z: jax.Array, x: jax.Array, y: jax.Array,
 
     alpha, w, ml = jax.vmap(one)(log_lambdas, log_sigma_f, log_sigma_n, y)
 
-    cfg = GPConfig(capacity=m_ind, x_dim=d, out_dim=e)
+    from gpmpc_tpu.gp.state import _rows_tied
+    cfg = GPConfig(capacity=m_ind, x_dim=d, out_dim=e,
+                   tied_lambdas=_rows_tied(log_lambdas))
     state = GPState(
         config=cfg, x=z,
         y=jnp.zeros((e, m_ind), dt),          # raw targets live elsewhere

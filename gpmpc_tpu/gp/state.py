@@ -50,6 +50,13 @@ class GPConfig:
     # Nominal mean models: callable (N, x_dim) -> (N, out_dim); the GP fits the
     # residual y - f_nom(x) (reference: gpr.py:225,249,306-309).
     nominal_fn: Optional[Callable] = struct.field(pytree_node=False, default=None)
+    # All output GPs share one lengthscale vector (true in every reference
+    # experiment, e.g. lambdas=[2,2,2] for every output,
+    # pretrain_pendulum.py:53-55). Auto-detected host-side by make_gp /
+    # set_hyperparams, cleared by per-output hyperparameter training; enables
+    # the shared-exp-chain fused variance kernel (ops/pallas/variance_trace).
+    # Purely a performance hint — never affects results.
+    tied_lambdas: bool = struct.field(pytree_node=False, default=False)
 
 
 @struct.dataclass
@@ -186,6 +193,22 @@ def _factorize(state: GPState) -> GPState:
 fit = _factorize
 
 
+def _rows_tied(v) -> bool:
+    """True iff `v` is a CONCRETE lengthscale spec whose per-output rows are
+    all equal (None/scalar/1-D specs broadcast to every output, so they tie by
+    construction). Tracers return False — the hint is conservative."""
+    if v is None:
+        return True
+    try:
+        import numpy as _np
+        arr = _np.asarray(v)
+    except Exception:
+        return False
+    if arr.ndim <= 1:
+        return True
+    return bool(_np.all(arr == arr[0]))
+
+
 def make_gp(config: GPConfig,
             x: Optional[jax.Array] = None,
             y: Optional[jax.Array] = None,
@@ -219,6 +242,7 @@ def make_gp(config: GPConfig,
             return jnp.zeros(shape, dtype)
         return jnp.broadcast_to(jnp.asarray(v, dtype), shape)
 
+    config = config.replace(tied_lambdas=_rows_tied(log_lambdas))
     state = GPState(
         config=config, x=xb, y=yb, mask=mask, count=count,
         log_lambdas=_hp(log_lambdas, (e, d)),
@@ -290,8 +314,10 @@ def set_hyperparams(state: GPState,
     e, d = state.log_lambdas.shape
     dt = state.log_lambdas.dtype
     if lambdas is not None:
-        state = state.replace(log_lambdas=jnp.broadcast_to(
-            jnp.log(jnp.asarray(lambdas, dt)), (e, d)))
+        state = state.replace(
+            log_lambdas=jnp.broadcast_to(
+                jnp.log(jnp.asarray(lambdas, dt)), (e, d)),
+            config=state.config.replace(tied_lambdas=_rows_tied(lambdas)))
     if sigma_f is not None:
         state = state.replace(log_sigma_f=jnp.broadcast_to(
             jnp.log(jnp.asarray(sigma_f, dt)), (e,)))

@@ -53,7 +53,12 @@ def train_hyperparams(state: GPState, num_iters: int = 1000, lr: float = 0.1,
         return (s.log_lambdas, s.log_sigma_f, s.log_sigma_n)
 
     def unpack(s, hp):
-        return s.replace(log_lambdas=hp[0], log_sigma_f=hp[1], log_sigma_n=hp[2])
+        # Per-output ML training unties the lengthscales, so drop the
+        # tied-lambdas fast-path hint (stays off even if lambdas are frozen —
+        # conservative and cheap).
+        cfg = s.config.replace(tied_lambdas=False)
+        return s.replace(config=cfg, log_lambdas=hp[0], log_sigma_f=hp[1],
+                         log_sigma_n=hp[2])
 
     flags = (train_lambdas, train_sigma_f, train_sigma_n)
 

@@ -216,11 +216,15 @@ def input_output_cov_batched_diag(u, s_diag, x, beta, l, log_lambdas):
 
 @f32_matmul_precision
 def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
-                                     log_sigma_f, means):
+                                     log_sigma_f, means, tied: bool = False):
     """Diagonal-S twin of `variance_prop_multi_batched`: hls = Lambda/2 + S is
     diagonal, so m2 = 1/hls elementwise and the log-det is a sum of logs.
 
     u: (B, d); s_diag: (B, d); x: (N, d); b_lam: (E, N, N); means: (B, E).
+    tied=True (static) asserts all rows of log_lambdas are equal (auto-detected
+    at GP construction, GPConfig.tied_lambdas): M2 is then shared across
+    outputs and the fused kernel computes the O(N^2) exp chain once per
+    scenario instead of once per (scenario, output).
     """
     from gpmpc_tpu.ops.pallas import variance_trace as _vt
 
@@ -231,12 +235,16 @@ def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
                            - jnp.sum(log_lambdas - jnp.log(2.0),
                                      axis=-1)[None])            # (B, E)
     eye = jnp.eye(d, dtype=x.dtype)
-    m2 = eye * (1.0 / hls)[..., None, :]                        # (B, E, d, d)
 
-    if _vt.enabled_batched() and _vt.supported_batched(n, d, x.dtype):
-        t = _vt.variance_trace_batched(u, m2, x, b_lam)
+    if (tied and _vt.enabled_batched() and _vt.supported_tied(n, d, x.dtype)):
+        m2s = eye * (1.0 / hls[:, 0])[..., None, :]             # (B, d, d)
+        t = _vt.variance_trace_batched_tied(u, m2s, x, b_lam)
     else:
-        t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
+        m2 = eye * (1.0 / hls)[..., None, :]                    # (B, E, d, d)
+        if _vt.enabled_batched() and _vt.supported_batched(n, d, x.dtype):
+            t = _vt.variance_trace_batched(u, m2, x, b_lam)
+        else:
+            t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
 
     return (jnp.exp(2.0 * log_sigma_f)[None]
             - jnp.exp(log_det_part) * t - means ** 2)

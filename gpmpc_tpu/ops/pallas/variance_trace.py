@@ -567,6 +567,171 @@ def _bcomb_call_tiled(g, a, dvec, blam):
     )(g, a, dvec[..., None], blam)
 
 
+# ----------------------------------------------------- tied-lambdas kernels --
+# Every reference experiment (and the headline bench) gives all output GPs the
+# SAME lengthscales (e.g. lambdas = [2, 2, 2] for every output,
+# pretrain_pendulum.py:53-55). Then M2 = (Lambda/2 + S)^{-1} is shared across
+# outputs, so the dominant O(N^2) exp chain T = exp(-1/4 p) d d^T is identical
+# for every e — these kernels compute it ONCE and only do the cheap
+# blam_e o T multiply/reduce (and the per-e residual contractions) per output.
+# Dispatched when GPConfig.tied_lambdas is set (auto-detected host-side).
+
+
+def _make_tfwd_kernel(btile: int, e_total: int):
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
+        b0 = pl.program_id(0) * btile
+        for k in range(btile):
+            p = jnp.dot(g_ref[k], a_ref[k].T,
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            dv = dv_ref[k, :, 0]
+            tmat = jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
+            for e in range(e_total):
+                t_ref[b0 + k, e] = jnp.sum(blam_ref[e] * tmat)
+    return kernel
+
+
+def _tfwd_call(g, a, dvec, blam):
+    """g: (B, N, d) shared over outputs; a: (B, N, d); dvec: (B, N);
+    blam: (E, N, N) -> t (B, E)."""
+    b, n, d = g.shape
+    e = blam.shape[0]
+    bt = _btile(b, n)
+    grid = (b // bt,)
+    return pl.pallas_call(
+        _make_tfwd_kernel(bt, e),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            # full (E, N, N) blam block, constant index map: VMEM-resident
+            # across the whole scenario sweep (E N^2 4B = 512 KB at E=2, N=256)
+            pl.BlockSpec((e, n, n), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, e), lambda b_: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+def _make_tcomb_kernel(btile: int, e_total: int):
+    """Tied-lambdas combined forward+residual kernel (see _make_bcomb_kernel
+    for the residual algebra): T is computed once per scenario, the per-e work
+    is the blam multiply, row sums, one (N, d) matmul and one (N, d, d)
+    broadcast contraction."""
+    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, zs_ref):
+        b0 = pl.program_id(0) * btile
+        for k in range(btile):
+            a = a_ref[k]                                          # (N, d)
+            p = jnp.dot(g_ref[k], a.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            dv = dv_ref[k, :, 0]
+            tmat = jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
+            for e in range(e_total):
+                w = blam_ref[e] * tmat
+                rk = jnp.sum(w, axis=1, keepdims=True)            # (N, 1)
+                t_ref[b0 + k, e] = jnp.sum(rk)
+                wa = jnp.dot(w, a, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+                z0_ref[b0 + k, e] = jnp.sum(a * rk, axis=0)
+                war = wa + a * rk
+                zs_ref[b0 + k, e] = jnp.sum(a[:, :, None] * war[:, None, :],
+                                            axis=0)
+    return kernel
+
+
+def _tcomb_call(g, a, dvec, blam):
+    """Returns (t, z0, zs): (B, E), (B, E, d), (B, E, d, d)."""
+    b, n, d = g.shape
+    e = blam.shape[0]
+    bt = _btile(b, n)
+    grid = (b // bt,)
+    full3 = lambda b_: (0, 0, 0)
+    full4 = lambda b_: (0, 0, 0, 0)
+    return pl.pallas_call(
+        _make_tcomb_kernel(bt, e),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, n, n), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, e), lambda b_: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, e), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(g, a, dvec[..., None], blam)
+
+
+def supported_tied(n: int, d: int, dtype) -> bool:
+    """The tied kernels keep the live (N, N) work per scenario whole in VMEM,
+    so they serve the full-N regime only; larger N falls back to the untied
+    j-tiled path (still correct, just without the shared-T saving)."""
+    return (n % 128 == 0 and 128 <= n <= _FULL_N_MAX and d <= 8
+            and dtype == jnp.float32)
+
+
+def _prep_tied(u, m2, x):
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    g = jnp.einsum('bnd,bdk->bnk', a, m2)          # (B, N, d)
+    q = jnp.sum(g * a, axis=-1)                    # (B, N)
+    return a, g, jnp.exp(-0.125 * q)
+
+
+@jax.custom_vjp
+def variance_trace_batched_tied(u, m2, x, blam):
+    """Tied-lambdas batched fused trace: u (B, d); m2 (B, d, d) SHARED across
+    outputs; x (N, d); blam (E, N, N) -> (B, E). Same math as
+    variance_trace_batched with m2 broadcast over E, but the O(N^2) exp chain
+    runs once per scenario instead of once per (scenario, output)."""
+    a, g, dvec = _prep_tied(u, m2, x)
+    return _tfwd_call(g, a, dvec, blam)
+
+
+def _vtt_fwd(u, m2, x, blam):
+    a, g, dvec = _prep_tied(u, m2, x)
+    t, z0, zs = _tcomb_call(g, a, dvec, blam)
+    return t, (m2, z0, zs, x, blam)
+
+
+def _vtt_bwd(res, ct):
+    m2, z0, zs, x, blam = res
+    # Same per-output cotangents as the untied VJP, summed over e because m2
+    # is shared.
+    du = -jnp.einsum('be,bdk,bek->bd', ct, m2, z0)
+    dm2 = -0.25 * jnp.einsum('be,bedk->bdk', ct, zs)
+    return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
+
+
+variance_trace_batched_tied.defvjp(_vtt_fwd, _vtt_bwd)
+
+
+def variance_trace_batched_tied_reference(u, m2, x, blam):
+    """Pure-jnp twin of variance_trace_batched_tied (fallback + test oracle)."""
+    e = blam.shape[0]
+    m2b = jnp.broadcast_to(m2[:, None], (m2.shape[0], e) + m2.shape[1:])
+    return variance_trace_batched_reference(u, m2b, x, blam)
+
+
 def _comb_reference(u, m2, x, blam):
     """jnp twin of the combined kernel (CPU fallback + oracle)."""
     a = u[:, None, :] - x[None]                    # (B, N, d)

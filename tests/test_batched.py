@@ -251,3 +251,107 @@ class TestBatchedPallasKernel:
                                    rtol=2e-3, atol=2e-4)
         np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
                                    rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.skipif(os.environ.get('GPMPC_FORCE_PALLAS') != '1'
+                    and jax.default_backend() != 'tpu',
+                    reason='interpreted Pallas is slow; opt in via '
+                           'GPMPC_FORCE_PALLAS=1')
+class TestTiedLambdasKernel:
+    """Shared-lengthscale fast path: m2 (B, d, d) shared across outputs."""
+
+    def _problem(self, seed=5, b=3, e=2, n=128, d=3):
+        rng = np.random.default_rng(seed)
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        m2r = rng.normal(size=(b, d, d))
+        m2 = jnp.asarray(m2r @ np.swapaxes(m2r, -1, -2) * 0.1
+                         + np.eye(d), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        br = rng.normal(size=(e, n, n)) * 0.01
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+        return u, m2, x, blam, ct
+
+    def test_forward_matches_reference(self):
+        u, m2, x, blam, _ = self._problem()
+        ref = vt.variance_trace_batched_tied_reference(u, m2, x, blam)
+        out = vt.variance_trace_batched_tied(u, m2, x, blam)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_backward_matches_reference(self):
+        u, m2, x, blam, ct = self._problem(seed=6)
+
+        def loss_k(u, m2):
+            return jnp.sum(vt.variance_trace_batched_tied(u, m2, x, blam) * ct)
+
+        def loss_r(u, m2):
+            return jnp.sum(
+                vt.variance_trace_batched_tied_reference(u, m2, x, blam) * ct)
+
+        gu_k, gm_k = jax.grad(loss_k, argnums=(0, 1))(u, m2)
+        gu_r, gm_r = jax.grad(loss_r, argnums=(0, 1))(u, m2)
+        np.testing.assert_allclose(np.asarray(gu_k), np.asarray(gu_r),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
+                                   rtol=2e-4, atol=2e-5)
+
+    def test_tied_dispatch_equals_untied(self):
+        """variance_prop_multi_batched_diag(tied=True) must equal the untied
+        path when the lengthscale rows are in fact equal."""
+        from gpmpc_tpu.ops import moments
+        rng = np.random.default_rng(7)
+        b, e, n, d = 3, 2, 128, 3
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        s_diag = jnp.asarray(rng.uniform(0.01, 0.2, (b, d)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        br = rng.normal(size=(e, n, n)) * 0.01
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+        log_lam = jnp.broadcast_to(
+            jnp.asarray(np.log([2.0, 1.5, 3.0]), jnp.float32), (e, d))
+        log_sf = jnp.zeros((e,), jnp.float32)
+        means = jnp.asarray(rng.normal(size=(b, e)) * 0.1, jnp.float32)
+
+        v_tied = moments.variance_prop_multi_batched_diag(
+            u, s_diag, x, blam, log_lam, log_sf, means, tied=True)
+        v_untied = moments.variance_prop_multi_batched_diag(
+            u, s_diag, x, blam, log_lam, log_sf, means, tied=False)
+        np.testing.assert_allclose(np.asarray(v_tied), np.asarray(v_untied),
+                                   rtol=2e-4, atol=2e-5)
+
+
+class TestTiedLambdasFlag:
+    """GPConfig.tied_lambdas bookkeeping (host-side auto-detection)."""
+
+    def test_make_gp_detects_tie(self):
+        from gpmpc_tpu.gp import state as gs
+        cfg = gs.GPConfig(capacity=16, x_dim=3, out_dim=2)
+        gp = gs.make_gp(cfg, log_lambdas=np.log([2.0, 2.0, 2.0]))
+        assert gp.config.tied_lambdas
+        gp2 = gs.make_gp(cfg, log_lambdas=np.log([[1.0, 2.0, 3.0],
+                                                  [4.0, 5.0, 6.0]]))
+        assert not gp2.config.tied_lambdas
+        gp3 = gs.make_gp(cfg)                     # default log(1): tied
+        assert gp3.config.tied_lambdas
+
+    def test_set_hyperparams_updates_flag(self):
+        from gpmpc_tpu.gp import state as gs
+        rng = np.random.default_rng(0)
+        cfg = gs.GPConfig(capacity=16, x_dim=2, out_dim=2)
+        gp = gs.make_gp(cfg, rng.normal(size=(8, 2)), rng.normal(size=(8, 2)))
+        gp = gs.set_hyperparams(gp, lambdas=[[1.0, 2.0], [3.0, 4.0]])
+        assert not gp.config.tied_lambdas
+        gp = gs.set_hyperparams(gp, lambdas=[2.0, 2.0])
+        assert gp.config.tied_lambdas
+
+    def test_training_clears_flag(self):
+        from gpmpc_tpu.gp import state as gs
+        from gpmpc_tpu.gp import train as gt
+        rng = np.random.default_rng(1)
+        cfg = gs.GPConfig(capacity=16, x_dim=2, out_dim=2)
+        x = rng.normal(size=(12, 2))
+        y = np.stack([np.sin(x[:, 0]), np.cos(x[:, 1])], axis=1)
+        gp = gs.make_gp(cfg, x, y, log_lambdas=np.zeros(2))
+        assert gp.config.tied_lambdas
+        res = gt.train_hyperparams(gp, num_iters=2)
+        assert not res.state.config.tied_lambdas
