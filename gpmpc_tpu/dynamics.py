@@ -192,7 +192,7 @@ def _step_batched(cache: RolloutCache, mean, cov_diag, action,
     # latency than the whole step's math).
     gp_mean, l = moments.mean_prop_batched_diag(
         joint_mean, joint_diag, cache.x, cache.beta, cache.log_lambdas,
-        cache.log_sigma_f, cache.mask)
+        cache.log_sigma_f, cache.mask, tied=cache.tied_lambdas)
 
     gp_var = moments.variance_prop_multi_batched_diag(
         joint_mean, joint_diag, cache.x, cache.b_lam, cache.log_lambdas,

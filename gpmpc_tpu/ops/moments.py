@@ -176,7 +176,8 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
 
 
 @f32_matmul_precision
-def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask):
+def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
+                           tied: bool = False):
     """Scenario-batched predictive mean for a DIAGONAL input covariance — the
     moment-matching hot path (dynamics.rollout_batched carries a diagonal
     state covariance, so S + Lambda is diagonal and every small-matrix solve
@@ -186,10 +187,27 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask):
 
     u: (B, d); s_diag: (B, d); x: (N, d); beta: (E, N); log_lambdas: (E, d);
     log_sigma_f: (E,); mask: (N,) -> (means (B, E), l (B, E, N)).
+
+    tied=True (static, GPConfig.tied_lambdas): all lengthscale rows are equal,
+    so q and the det correction are output-independent — computed once, and
+    l_e differs from the shared l0 only by the sigma_f_e^2 scalar. The means
+    become one (E, N) x (B, N) matmul instead of a (B, E, N) tensor
+    contraction, and the N-point exp runs once instead of E times.
     """
     lam = jnp.exp(log_lambdas)                                  # (E, d)
-    spl = s_diag[:, None, :] + lam[None]                        # (B, E, d)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
+    if tied:
+        spl0 = s_diag + lam[0][None]                            # (B, d)
+        q0 = jnp.einsum('bnd,bd->bn', diff * diff, 1.0 / spl0)  # (B, N)
+        log_det0 = -0.5 * (jnp.sum(jnp.log(spl0), axis=-1)
+                           - jnp.sum(log_lambdas[0]))           # (B,)
+        l0 = jnp.exp(log_det0[:, None] - 0.5 * q0)              # (B, N)
+        l0 = l0 * mask.astype(l0.dtype)
+        sf2 = jnp.exp(2.0 * log_sigma_f)                        # (E,)
+        means = jnp.einsum('en,bn->be', beta, l0) * sf2[None]
+        l = sf2[None, :, None] * l0[:, None, :]                 # (B, E, N)
+        return means, l
+    spl = s_diag[:, None, :] + lam[None]                        # (B, E, d)
     # q_j = sum_k diff_jk^2 / spl_k
     q = jnp.einsum('bnd,bed->ben', diff * diff, 1.0 / spl)      # (B, E, N)
     log_det_corr = -0.5 * (jnp.sum(jnp.log(spl), axis=-1)

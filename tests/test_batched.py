@@ -355,3 +355,25 @@ class TestTiedLambdasFlag:
         assert gp.config.tied_lambdas
         res = gt.train_hyperparams(gp, num_iters=2)
         assert not res.state.config.tied_lambdas
+
+    def test_tied_mean_prop_equals_untied(self):
+        from gpmpc_tpu.ops import moments
+        rng = np.random.default_rng(8)
+        b, e, n, d = 4, 3, 64, 3
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        s_diag = jnp.asarray(rng.uniform(0.01, 0.2, (b, d)), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(e, n)), jnp.float32)
+        log_lam = jnp.broadcast_to(
+            jnp.asarray(np.log([2.0, 1.5, 3.0]), jnp.float32), (e, d))
+        log_sf = jnp.asarray(rng.normal(size=(e,)) * 0.3, jnp.float32)
+        mask = jnp.asarray(np.arange(n) < 50)
+
+        m_t, l_t = moments.mean_prop_batched_diag(
+            u, s_diag, x, beta, log_lam, log_sf, mask, tied=True)
+        m_u, l_u = moments.mean_prop_batched_diag(
+            u, s_diag, x, beta, log_lam, log_sf, mask, tied=False)
+        np.testing.assert_allclose(np.asarray(m_t), np.asarray(m_u),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(l_t), np.asarray(l_u),
+                                   rtol=1e-5, atol=1e-6)
