@@ -34,41 +34,23 @@ def main():
 
     import jax.numpy as jnp
 
-    from gpmpc_tpu.gp import state as gs
-    from gpmpc_tpu.mpc.cost import CostParams
+    from benchmarks.problems import make_headline_problem
     from gpmpc_tpu.mpc.solver import SolverConfig
     from gpmpc_tpu.parallel import batch as pbatch
 
     dtype = jnp.float32
-    ds, da = 2, 1
-    n_train, capacity = 200, 256
-    horizon = 20
     b = 256
+    prob = make_headline_problem(b=b, dtype=dtype)
+    gp, ds, da = prob.gp, prob.state_dim, prob.action_dim
+    x0s, params, horizon = prob.x0s, prob.params, prob.horizon
     solver = SolverConfig(method='lbfgs', max_iters=40, tol=1e-4)
 
     rng = np.random.default_rng(0)
-    states = rng.uniform(-np.pi, np.pi, (n_train, ds))
-    actions = rng.uniform(-5, 5, (n_train, da))
-    next_states = states + 0.05 * np.concatenate(
-        [states[:, 1:], 15 * np.sin(states[:, :1]) + 3 * actions], axis=1)
-    x = np.concatenate([states, actions], axis=1)
-    cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
-    # f32-friendly conditioning (sigma_n = 0.1): the hot path runs in f32; the
-    # reference's sigma_n = 1e-5 configs require x64 (see gp/state.py).
-    gp = gs.make_gp(cfg, x, next_states, log_lambdas=np.log([4.0] * (ds + da)),
-                    log_sigma_f=0.0, log_sigma_n=np.log(0.1), dtype=dtype)
-
-    x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype)
-    gammas = jnp.asarray(np.linspace(-0.5, 0.5, b), dtype)
-    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
-                        R=0.01 * jnp.eye(da, dtype=dtype),
-                        gamma=gammas,
-                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
 
     @jax.jit
     def run(gp, x0s, params):
-        res = pbatch.solve_batch(gp, ds, da, x0s, params, horizon, -5.0, 5.0,
-                                 solver)
+        res = pbatch.solve_batch(gp, ds, da, x0s, params, horizon,
+                                 prob.lb, prob.ub, solver)
         return res.u, res.cost
 
     u, c = run(gp, x0s, params)

@@ -1,0 +1,62 @@
+"""Canonical benchmark problem definitions shared by bench.py, the benchmark
+suite, and the solution-quality regression harness — one source of truth so a
+perf change and its quality guard always measure the SAME workload.
+
+The headline problem is the BASELINE.json north-star scale: B independent
+risk-sensitive GP-MPC solves against a shared exact-GP pendulum-dimension
+posterior (ds=2, da=1), N=200 training points (capacity 256), horizon 20
+(reference workload role: mpc.py:269-330 driven by simulator.py:47).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+
+class HeadlineProblem(NamedTuple):
+    gp: object            # GPState
+    state_dim: int
+    action_dim: int
+    x0s: object           # (B, ds)
+    params: object        # CostParams (gamma is a (B,) sweep)
+    horizon: int
+    lb: float
+    ub: float
+
+
+def make_headline_problem(b: int = 256, dtype=None, seed: int = 0,
+                          n_train: int = 200, capacity: int = 256,
+                          horizon: int = 20) -> HeadlineProblem:
+    """The bench.py workload. dtype defaults to f32 (the production precision);
+    pass jnp.float64 (under jax.enable_x64) for the quality-reference solve."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.gp import state as gs
+    from gpmpc_tpu.mpc.cost import CostParams
+
+    if dtype is None:
+        dtype = jnp.float32
+    ds, da = 2, 1
+
+    rng = np.random.default_rng(seed)
+    states = rng.uniform(-np.pi, np.pi, (n_train, ds))
+    actions = rng.uniform(-5, 5, (n_train, da))
+    next_states = states + 0.05 * np.concatenate(
+        [states[:, 1:], 15 * np.sin(states[:, :1]) + 3 * actions], axis=1)
+    x = np.concatenate([states, actions], axis=1)
+    cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
+    # f32-friendly conditioning (sigma_n = 0.1): the hot path runs in f32; the
+    # reference's sigma_n = 1e-5 configs require x64 (see gp/state.py).
+    gp = gs.make_gp(cfg, x, next_states, log_lambdas=np.log([4.0] * (ds + da)),
+                    log_sigma_f=0.0, log_sigma_n=np.log(0.1), dtype=dtype)
+
+    x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype)
+    gammas = jnp.asarray(np.linspace(-0.5, 0.5, b), dtype)
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype),
+                        gamma=gammas,
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    return HeadlineProblem(gp=gp, state_dim=ds, action_dim=da, x0s=x0s,
+                           params=params, horizon=horizon, lb=-5.0, ub=5.0)

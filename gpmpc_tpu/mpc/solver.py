@@ -131,7 +131,20 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         # doubled (capped at 1) on acceptance. A rejected iteration costs one
         # forward pass and retries with the smaller step.
         u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, _ = carry
-        d = -two_loop(g, s_h, y_h, rho_h, hlen)
+        # Two-metric projection (Gafni-Bertsekas): quasi-Newton directions are
+        # built from the FREE gradient only; bound-active coordinates (at the
+        # bound with the gradient pushing outward) take plain gradient steps
+        # that projection handles. Feeding the full gradient to the two-loop
+        # lets curvature pairs from clipped steps steer the direction into the
+        # active set, where projection annihilates it — the solve then stalls
+        # at step-size underflow with free coordinates far from optimal.
+        eps_act = 1e-6 * (1.0 + jnp.abs(u))
+        act = jnp.logical_or(
+            jnp.logical_and(u <= lb_f + eps_act, g > 0.0),
+            jnp.logical_and(u >= ub_f - eps_act, g < 0.0))
+        gf = jnp.where(act, 0.0, g)
+        d = -two_loop(gf, s_h, y_h, rho_h, hlen)
+        d = jnp.where(act, -g, d)
         gd = jnp.dot(g, d)
         d = jnp.where(gd < -1e-16, d, -g)          # fall back to steepest
 
@@ -142,8 +155,12 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         u_try = proj(u + t_ls * d)
         f_try, g_try = vg(u_try)
         dec = jnp.dot(g, u_try - u)
+        # Noise-tolerant Armijo: f32 rollouts carry ~eps-relative arithmetic
+        # noise; demanding strict decrease below that noise floor halves t_ls
+        # to underflow and latches `done` prematurely.
+        eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
-            jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0),
+            jnp.logical_and(f_try <= f + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
         u_new = jnp.where(accepted, u_try, u)
         f_new = jnp.where(accepted, f_try, f)
@@ -249,7 +266,15 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
     def body(carry):
         u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, iters_b, done = carry
         live = jnp.logical_not(done)             # (B,)
-        d = -two_loop(g, s_h, y_h, rho_h, hlen)
+        # Two-metric projection — see _solve_lbfgs for why the two-loop must
+        # see only the FREE gradient.
+        eps_act = 1e-6 * (1.0 + jnp.abs(u))
+        act = jnp.logical_or(
+            jnp.logical_and(u <= lb_f + eps_act, g > 0.0),
+            jnp.logical_and(u >= ub_f - eps_act, g < 0.0))
+        gf = jnp.where(act, 0.0, g)
+        d = -two_loop(gf, s_h, y_h, rho_h, hlen)
+        d = jnp.where(act, -g, d)
         gd = jnp.einsum('bn,bn->b', g, d)
         d = jnp.where((gd < -1e-16)[:, None], d, -g)
 
@@ -263,8 +288,10 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         u_try = proj(u + t_ls[:, None] * d)
         f_try, g_try = val_and_grad(u_try)
         dec = jnp.einsum('bn,bn->b', g, u_try - u)
+        # Noise-tolerant Armijo (see _solve_lbfgs).
+        eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
-            jnp.logical_and(f_try <= f + c1 * dec, dec < 0.0),
+            jnp.logical_and(f_try <= f + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
         accepted = jnp.logical_and(accepted, live)
         u_new = jnp.where(accepted[:, None], u_try, u)

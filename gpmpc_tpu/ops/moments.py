@@ -193,14 +193,25 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
     l_e differs from the shared l0 only by the sigma_f_e^2 scalar. The means
     become one (E, N) x (B, N) matmul instead of a (B, E, N) tensor
     contraction, and the N-point exp runs once instead of E times.
+
+    Gradient caveat: results are identical to tied=False, but cotangents
+    w.r.t. log_lambdas are not per-row exact — the shared chain distributes
+    the summed lengthscale gradient uniformly over the E rows instead of
+    attributing each output's terms to its own row. The production rollout
+    stop-gradients the GP state (build_rollout_cache), so this only matters
+    if the function is differentiated w.r.t. hyperparameters directly; use
+    tied=False there.
     """
     lam = jnp.exp(log_lambdas)                                  # (E, d)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
     if tied:
-        spl0 = s_diag + lam[0][None]                            # (B, d)
+        # Row mean, not row 0: values are equal by the tied invariant, and the
+        # mean at least symmetrizes the lengthscale cotangents across rows.
+        lam0 = jnp.mean(lam, axis=0)                            # (d,)
+        spl0 = s_diag + lam0[None]                              # (B, d)
         q0 = jnp.einsum('bnd,bd->bn', diff * diff, 1.0 / spl0)  # (B, N)
         log_det0 = -0.5 * (jnp.sum(jnp.log(spl0), axis=-1)
-                           - jnp.sum(log_lambdas[0]))           # (B,)
+                           - jnp.sum(jnp.mean(log_lambdas, axis=0)))  # (B,)
         l0 = jnp.exp(log_det0[:, None] - 0.5 * q0)              # (B, N)
         l0 = l0 * mask.astype(l0.dtype)
         sf2 = jnp.exp(2.0 * log_sigma_f)                        # (E,)
@@ -254,8 +265,11 @@ def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
                                      axis=-1)[None])            # (B, E)
     eye = jnp.eye(d, dtype=x.dtype)
 
-    if (tied and _vt.enabled_batched() and _vt.supported_tied(n, d, x.dtype)):
-        m2s = eye * (1.0 / hls[:, 0])[..., None, :]             # (B, d, d)
+    if (tied and _vt.enabled_batched()
+            and _vt.supported_tied(n, d, x.dtype, b_lam.shape[0])):
+        # Row mean over E (rows equal by the tied invariant; see
+        # mean_prop_batched_diag for the gradient caveat).
+        m2s = eye * (1.0 / jnp.mean(hls, axis=1))[..., None, :]  # (B, d, d)
         t = _vt.variance_trace_batched_tied(u, m2s, x, b_lam)
     else:
         m2 = eye * (1.0 / hls)[..., None, :]                    # (B, E, d, d)

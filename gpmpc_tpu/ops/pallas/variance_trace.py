@@ -24,19 +24,15 @@ reference's detach semantics, dynamics.py:170-171):
 
 derived from e_ij = -1/2 abar^T M2 abar, abar = (a_i + a_j)/2 (valid for
 SYMMETRIC blam and M2 — always true here). In the production batched path the
-FORWARD kernel emits z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A alongside t
-during the VJP (one pass over W instead of a forward + a recompute-W backward;
-the residuals are O(N d^2) extra work on top of the O(N^2) W chain), so the
-backward is pure (d, d) elementwise math. Nothing (N, N) ever hits HBM.
+kernel emits the augmented MXU reduction rw = W @ [1 | A] (row sums and W A in
+one matmul — see the "rw formulation" banner below); everything else the
+primal and the VJP need is O(N d) XLA work. Nothing (N, N) ever hits HBM.
 
 Mosaic pitfalls baked into these kernels (do not "simplify" them away):
   - every jnp.dot carries precision=HIGHEST — pallas dots default to bf16
     MXU operand rounding regardless of any outer default_matmul_precision;
-  - row sums are keepdims (N, 1) — rank-1 (N,) intermediates trip a Mosaic
-    relayout bug;
-  - residual contractions use (N, d, d) broadcasts — measured FASTER than
-    dot_general over the leading axis (transposed tiny matmul) and than
-    exporting (B, E, N, d) operands to XLA einsums (VMEM-padding OOM).
+  - (N, 1)-shaped column vectors everywhere — rank-1 (N,) intermediates trip
+    a Mosaic relayout bug ("non-singleton logical dimension is replicated").
 """
 
 from __future__ import annotations
@@ -275,6 +271,27 @@ def variance_trace_reference(u, m2, x, blam):
 # across the whole scenario sweep — HBM reads it E times total instead of
 # B*E times, and each grid cell does a full (N, N) tile of work.
 #
+# Kernel contract (the "rw" formulation): the kernel's only job is the O(N^2)
+# chain W = blam o exp(-1/4 p) o (d_i d_j), reduced against the AUGMENTED
+# matrix AO = [1 | A] on the MXU:
+#
+#     rw = W @ AO = [W 1 | W A]          (N, 1+d) per (scenario, output)
+#
+# computed as dv o (w' @ (dv o AO)) with w' = blam o exp(-1/4 p), so the d_i
+# d_j scaling never touches an (N, N) buffer. Everything the primal and the
+# VJP need is then O(N d) XLA work outside the kernel:
+#
+#     t  = sum(rw[..., 0])                                (the trace term)
+#     z0 = A^T r,   zs = A^T (W A + diag(r) A)            (VJP residuals)
+#     dt/du = -M2 z0,   dt/dM2 = -1/4 zs                  (per output, x ct)
+#
+# derived from e_ij = -1/2 abar^T M2 abar, abar = (a_i + a_j)/2 (valid for
+# SYMMETRIC blam and M2 — always true here). Compared to the previous
+# "combined" kernels (which reduced row sums and (N, d, d) residual
+# broadcasts on the VPU, lane-padded 128/d-fold), every N^2-sized reduction
+# now rides the MXU and kernel VPU work shrinks to one exp chain plus one
+# blam multiply per output — measured ~2x on the headline solve.
+#
 # Requires the caller to be natively batched (dynamics.rollout_batched +
 # mpc.solver.solve_trajectory_batched), not vmapped.
 # ===================================================================
@@ -292,23 +309,35 @@ def enabled_batched() -> bool:
     return os.environ.get('GPMPC_FORCE_PALLAS') == '1'
 
 
-def supported_batched(n: int, d: int, dtype) -> bool:
-    """n <= 512 runs the full-N-block kernels; 512 < n <= 2048 the j-tiled
-    variants (the ~6 N^2 floats of live work per scenario no longer fit VMEM
-    whole at N = 1024)."""
-    return n % 128 == 0 and 128 <= n <= 2048 and d <= 8 and dtype == jnp.float32
-
-
 _FULL_N_MAX = 512
+
+
+def supported_batched(n: int, d: int, dtype) -> bool:
+    """n <= 512 runs the full-N-block kernels; above that the j-tiled variants
+    (the ~3 N^2 floats of live work per scenario no longer fit VMEM whole),
+    whose (N, N) blam block must itself fit the 16 MB VMEM budget next to the
+    per-scenario temporaries — the 8 MB guard caps N at 1408."""
+    return (n % 128 == 0 and 128 <= n and d <= 8 and dtype == jnp.float32
+            and n * n * 4 <= 8 * 1024 * 1024)
+
+
+def supported_tied(n: int, d: int, dtype, e: int = 2) -> bool:
+    """The tied kernels keep ALL E blam blocks VMEM-resident (that is what
+    lets the shared exp chain run once per scenario), so the budget scales
+    with E; larger configurations fall back to the untied path (still
+    correct, just without the shared-exp saving)."""
+    if not (n % 128 == 0 and 128 <= n and d <= 8 and dtype == jnp.float32):
+        return False
+    return e * n * n * 4 <= 8 * 1024 * 1024
 
 
 def _btile(b: int, n: int) -> int:
     """Scenarios per grid cell: amortizes the fixed per-cell cost (DMA setup,
     grid bookkeeping) that dominated the first (one-cell-per-scenario) layout.
     Mosaic stack-allocates the unrolled scenarios' (N, N) temporaries
-    simultaneously (~6 N^2 floats each), so the tile shrinks with N to stay
+    simultaneously (~3 N^2 floats each), so the tile shrinks with N to stay
     inside the 16 MB VMEM budget."""
-    budget = max(1, (2 * 1024 * 1024) // (n * n // 32))   # 8 at N=256, 2 at 512
+    budget = max(1, (2 * 1024 * 1024) // (n * n * 4))     # 8 at N=256, 2 at 512
     for bt in (8, 4, 2):
         if bt <= budget and b % bt == 0:
             return bt
@@ -319,287 +348,158 @@ def _jtile(n: int) -> int:
     return 256 if n % 256 == 0 else 128
 
 
-def _make_bfwd_kernel(btile: int):
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
-        # Cell (e, bb): t[bb*BT + k, e] for k < BT, each
-        #   t = sum_ij blam[e]_ij d_i d_j exp(-1/4 g_i . a_j).
-        # t_ref is the FULL (B, E) output in SMEM (constant index map — tiny,
-        # and full-array blocks sidestep the (8, 128) tiling rule).
-        e = pl.program_id(0)
-        b0 = pl.program_id(1) * btile
-        blam = blam_ref[0]
-        for k in range(btile):
-            # precision=HIGHEST: the MXU rounds f32 operands to bf16 by
-            # default — a ~1e-3 relative error inside exp() that the outside
-            # f32_matmul_precision wrapper cannot fix (it does not reach into
-            # pallas_call).
-            p = jnp.dot(g_ref[k, 0], a_ref[k].T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            w = blam * jnp.exp(-0.25 * p)
-            dv = dv_ref[k, 0, :, 0]
-            t_ref[b0 + k, e] = jnp.sum(w * (dv[:, None] * dv[None, :]))
-    return kernel
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _bfwd_call(g, a, dvec, blam):
-    """g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N); blam: (E, N, N)
-    -> t (B, E)."""
-    b, e, n, d = g.shape
-    if n > _FULL_N_MAX:
-        return _bfwd_call_tiled(g, a, dvec, blam)
-    bt = _btile(b, n)
-    grid = (e, b // bt)                 # b innermost: blam block stays resident
-    return pl.pallas_call(
-        _make_bfwd_kernel(bt),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
+def _make_rw_kernel(btile: int):
+    """Untied full-N kernel. Cell (e, bb): for each of the btile scenarios,
+    one (N, N) exp chain and one augmented MXU reduction.
 
-
-def _make_bcomb_kernel(btile: int):
-    """Combined forward+residual kernel: emits t AND the backward contractions
-    (z0 = A^T r, Z = A^T W A, Z2 = A^T diag(r) A) in one pass over W. The
-    extra work is O(N d^2) on top of the O(N^2) W chain, so computing the
-    residuals here is ~free — while a separate backward kernel would have to
-    recompute the whole N^2 exp chain (the dominant cost). Used by the VJP
-    forward; the no-gradient path keeps the lean forward-only kernel.
-
-    The VJP only ever consumes Z + Z2 (see _vtb_bwd), so the kernel emits the
-    MERGED residual zs = A^T (W A + diag(r) A) directly: one (N, d, d)
-    broadcast contraction over war = wa + a*rk instead of two over wa and
-    a*rk separately — measured a stable ~11% whole-solve win (the (N, d, d)
-    broadcasts are lane-padded 128/d-fold, so each one saved matters)."""
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, zs_ref):
-        e = pl.program_id(0)
-        b0 = pl.program_id(1) * btile
+    precision=HIGHEST on the p dot: the MXU rounds f32 operands to bf16 by
+    default — a ~1e-3 relative error inside exp() that the outer
+    f32_matmul_precision wrapper cannot fix (it does not reach into
+    pallas_call). The rw dot gets HIGHEST too (it produces the primal t)."""
+    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
         blam = blam_ref[0]
         for k in range(btile):
             a = a_ref[k]                                          # (N, d)
-            p = jnp.dot(g_ref[k, 0], a.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            dv = dv_ref[k, 0, :, 0]
-            w = blam * jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
-            # keepdims row sum: a rank-1 (N,) intermediate trips a Mosaic
-            # relayout bug ("non-singleton logical dimension is replicated");
-            # (N, 1) stays in a well-defined layout.
-            rk = jnp.sum(w, axis=1, keepdims=True)                # (N, 1)
-            t_ref[b0 + k, e] = jnp.sum(rk)
-            wa = jnp.dot(w, a, preferred_element_type=jnp.float32,
-                         precision=jax.lax.Precision.HIGHEST)     # (N, d)
-            z0_ref[b0 + k, e] = jnp.sum(a * rk, axis=0)
-            war = wa + a * rk             # W A + diag(r) A, summed form
-            zs_ref[b0 + k, e] = jnp.sum(a[:, :, None] * war[:, None, :],
-                                        axis=0)
+            dv = dv_ref[k, 0]                                     # (N, 1)
+            p = jnp.dot(g_ref[k, 0], a.T,
+                        preferred_element_type=jnp.float32, precision=_HI)
+            w = blam * jnp.exp(-0.25 * p)
+            aod = ao_ref[k] * dv                                  # (N, 1+d)
+            rw_ref[k, 0] = dv * jnp.dot(w, aod,
+                                        preferred_element_type=jnp.float32,
+                                        precision=_HI)
     return kernel
 
 
-def _bcomb_call(g, a, dvec, blam):
-    """Returns (t, z0, zs) with zs = Z + Z2 (all the VJP needs)."""
-    b, e, n, d = g.shape
-    if n > _FULL_N_MAX:
-        return _bcomb_call_tiled(g, a, dvec, blam)
-    bt = _btile(b, n)
-    grid = (e, b // bt)
-    full3 = lambda e_, b_: (0, 0, 0)
-    full4 = lambda e_, b_: (0, 0, 0, 0)
-    return pl.pallas_call(
-        _make_bcomb_kernel(bt),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, e), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
-
-
-# ------------------------------------------------------------ large-N tiled --
-# For N > _FULL_N_MAX the ~6 N^2 floats of live (N, N) work per scenario no
-# longer fit VMEM (at N = 1024 that is 24 MB). The full (N, N) blam block
-# itself still fits (4 MB), so the grid stays (E, B) with blam resident and
-# the kernel tiles the trailing training-point axis with an inner fori_loop:
-# per j-step temporaries are (N, TJ) and the row-sum / W@A accumulators are
-# small functional carries — no B-sized scratch (which would be lane-padded
-# to 128 and explode).
-
-
-def _make_bfwd_tiled_kernel(n: int, tj: int):
+def _make_rw_tiled_kernel(n: int, tj: int, width: int):
+    """Untied j-tiled kernel (N > _FULL_N_MAX): per-j-step temporaries are
+    (N, TJ) and the accumulator is the (N, 1+d) rw carry."""
     nj = n // tj
 
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
-        e = pl.program_id(0)
-        b = pl.program_id(1)
-        g = g_ref[0, 0]
+    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
+        g = g_ref[0, 0]                                           # (N, d)
         dv = dv_ref[0, 0]                                         # (N, 1)
 
         def body(j, acc):
             aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
-            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
             dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
+            aoj = ao_ref[0, pl.ds(j * tj, tj), :] * dvj           # (TJ, 1+d)
+            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
             p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            w = blam_j * jnp.exp(-0.25 * p) * dv * dvj.T
-            return acc + jnp.sum(w)
+                        precision=_HI)
+            w = blam_j * jnp.exp(-0.25 * p)
+            return acc + jnp.dot(w, aoj, preferred_element_type=jnp.float32,
+                                 precision=_HI)
 
-        t_ref[b, e] = jax.lax.fori_loop(0, nj, body, jnp.float32(0.0))
+        acc = jax.lax.fori_loop(0, nj, body, jnp.zeros((n, width), jnp.float32))
+        rw_ref[0, 0] = dv * acc
     return kernel
 
 
-def _bfwd_call_tiled(g, a, dvec, blam):
+def _rw_call(g, a, dvec, ao, blam):
+    """g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N); ao: (B, N, 1+d);
+    blam: (E, N, N) -> rw (B, E, N, 1+d)."""
     b, e, n, d = g.shape
-    grid = (e, b)
+    w1 = ao.shape[-1]
+    if n > _FULL_N_MAX:
+        bt, kernel = 1, _make_rw_tiled_kernel(n, _jtile(n), w1)
+    else:
+        bt = _btile(b, n)
+        kernel = _make_rw_kernel(bt)
+    grid = (e, b // bt)                 # b innermost: blam block stays resident
     return pl.pallas_call(
-        _make_bfwd_tiled_kernel(n, _jtile(n)),
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, n, d), lambda e, b: (b, e, 0, 0),
+            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda e, b: (b, 0, 0),
+            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, 1), lambda e, b: (b, e, 0, 0),
+            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, w1), lambda e, b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
+        out_specs=pl.BlockSpec((bt, 1, n, w1), lambda e, b: (b, e, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, e, n, w1), jnp.float32),
         interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
-
-
-def _make_bcomb_tiled_kernel(n: int, tj: int):
-    nj = n // tj
-
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, zs_ref):
-        e = pl.program_id(0)
-        b = pl.program_id(1)
-        g = g_ref[0, 0]
-        a = a_ref[0]                                              # (N, d)
-        dv = dv_ref[0, 0]                                         # (N, 1)
-        d = a.shape[1]
-
-        def body(j, carry):
-            rk, wa = carry
-            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
-            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
-            dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
-            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            w = blam_j * jnp.exp(-0.25 * p) * dv * dvj.T
-            rk = rk + jnp.sum(w, axis=1, keepdims=True)
-            wa = wa + jnp.dot(w, aj, preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-            return rk, wa
-
-        rk0 = jnp.zeros((n, 1), jnp.float32)
-        wa0 = jnp.zeros((n, d), jnp.float32)
-        rk, wa = jax.lax.fori_loop(0, nj, body, (rk0, wa0))
-        t_ref[b, e] = jnp.sum(rk)
-        z0_ref[b, e] = jnp.sum(a * rk, axis=0)
-        war = wa + a * rk                 # W A + diag(r) A, summed form
-        zs_ref[b, e] = jnp.sum(a[:, :, None] * war[:, None, :], axis=0)
-    return kernel
-
-
-def _bcomb_call_tiled(g, a, dvec, blam):
-    """Returns (t, z0, zs) with zs = Z + Z2 (the VJP only ever uses the sum)."""
-    b, e, n, d = g.shape
-    grid = (e, b)
-    full3 = lambda e_, b_: (0, 0, 0)
-    full4 = lambda e_, b_: (0, 0, 0, 0)
-    return pl.pallas_call(
-        _make_bcomb_tiled_kernel(n, _jtile(n)),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, n, d), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, d), lambda e, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n, 1), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((b, e), lambda e_, b_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, e), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
+    )(g, a, dvec[..., None], ao, blam)
 
 
 # ----------------------------------------------------- tied-lambdas kernels --
 # Every reference experiment (and the headline bench) gives all output GPs the
 # SAME lengthscales (e.g. lambdas = [2, 2, 2] for every output,
 # pretrain_pendulum.py:53-55). Then M2 = (Lambda/2 + S)^{-1} is shared across
-# outputs, so the dominant O(N^2) exp chain T = exp(-1/4 p) d d^T is identical
-# for every e — these kernels compute it ONCE and only do the cheap
-# blam_e o T multiply/reduce (and the per-e residual contractions) per output.
+# outputs, so the dominant O(N^2) exp chain exp(-1/4 p) o (d_i d_j) is
+# identical for every e — these kernels compute it ONCE per scenario and only
+# do the cheap blam_e multiply + augmented MXU reduction per output.
 # Dispatched when GPConfig.tied_lambdas is set (auto-detected host-side).
 
 
-def _make_tfwd_kernel(btile: int, e_total: int):
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref):
-        b0 = pl.program_id(0) * btile
+def _make_rw_tied_kernel(btile: int, e_total: int):
+    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
         for k in range(btile):
-            p = jnp.dot(g_ref[k], a_ref[k].T,
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            dv = dv_ref[k, :, 0]
-            tmat = jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
+            a = a_ref[k]                                          # (N, d)
+            dv = dv_ref[k]                                        # (N, 1)
+            p = jnp.dot(g_ref[k], a.T, preferred_element_type=jnp.float32,
+                        precision=_HI)
+            emat = jnp.exp(-0.25 * p)
+            aod = ao_ref[k] * dv                                  # (N, 1+d)
             for e in range(e_total):
-                t_ref[b0 + k, e] = jnp.sum(blam_ref[e] * tmat)
+                w = blam_ref[e] * emat
+                rw_ref[k, e] = dv * jnp.dot(
+                    w, aod, preferred_element_type=jnp.float32, precision=_HI)
     return kernel
 
 
-def _tfwd_call(g, a, dvec, blam):
+def _make_rw_tied_tiled_kernel(n: int, tj: int, e_total: int, width: int):
+    nj = n // tj
+
+    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
+        g = g_ref[0]                                              # (N, d)
+        dv = dv_ref[0]                                            # (N, 1)
+
+        def body(j, accs):
+            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
+            dvj = dv_ref[0, pl.ds(j * tj, tj), :]                 # (TJ, 1)
+            aoj = ao_ref[0, pl.ds(j * tj, tj), :] * dvj           # (TJ, 1+d)
+            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
+                        precision=_HI)
+            emat = jnp.exp(-0.25 * p)                             # shared in e
+            return tuple(
+                accs[e] + jnp.dot(blam_ref[e, :, pl.ds(j * tj, tj)] * emat,
+                                  aoj, preferred_element_type=jnp.float32,
+                                  precision=_HI)
+                for e in range(e_total))
+
+        init = tuple(jnp.zeros((n, width), jnp.float32)
+                     for _ in range(e_total))
+        accs = jax.lax.fori_loop(0, nj, body, init)
+        for e in range(e_total):
+            rw_ref[0, e] = dv * accs[e]
+    return kernel
+
+
+def _rw_call_tied(g, a, dvec, ao, blam):
     """g: (B, N, d) shared over outputs; a: (B, N, d); dvec: (B, N);
-    blam: (E, N, N) -> t (B, E)."""
+    ao: (B, N, 1+d); blam: (E, N, N) -> rw (B, E, N, 1+d)."""
     b, n, d = g.shape
     e = blam.shape[0]
-    bt = _btile(b, n)
+    w1 = ao.shape[-1]
+    if n > _FULL_N_MAX:
+        bt, kernel = 1, _make_rw_tied_tiled_kernel(n, _jtile(n), e, w1)
+    else:
+        bt = _btile(b, n)
+        kernel = _make_rw_tied_kernel(bt, e)
     grid = (b // bt,)
     return pl.pallas_call(
-        _make_tfwd_kernel(bt, e),
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
@@ -607,152 +507,39 @@ def _tfwd_call(g, a, dvec, blam):
             pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, n, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, n, w1), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             # full (E, N, N) blam block, constant index map: VMEM-resident
             # across the whole scenario sweep (E N^2 4B = 512 KB at E=2, N=256)
             pl.BlockSpec((e, n, n), lambda b: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, e), lambda b_: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((b, e), jnp.float32),
+        out_specs=pl.BlockSpec((bt, e, n, w1), lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, e, n, w1), jnp.float32),
         interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
+    )(g, a, dvec[..., None], ao, blam)
 
 
-def _make_tcomb_kernel(btile: int, e_total: int):
-    """Tied-lambdas combined forward+residual kernel (see _make_bcomb_kernel
-    for the residual algebra): T is computed once per scenario, the per-e work
-    is the blam multiply, row sums, one (N, d) matmul and one (N, d, d)
-    broadcast contraction."""
-    def kernel(g_ref, a_ref, dv_ref, blam_ref, t_ref, z0_ref, zs_ref):
-        b0 = pl.program_id(0) * btile
-        for k in range(btile):
-            a = a_ref[k]                                          # (N, d)
-            p = jnp.dot(g_ref[k], a.T, preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
-            dv = dv_ref[k, :, 0]
-            tmat = jnp.exp(-0.25 * p) * (dv[:, None] * dv[None, :])
-            for e in range(e_total):
-                w = blam_ref[e] * tmat
-                rk = jnp.sum(w, axis=1, keepdims=True)            # (N, 1)
-                t_ref[b0 + k, e] = jnp.sum(rk)
-                wa = jnp.dot(w, a, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-                z0_ref[b0 + k, e] = jnp.sum(a * rk, axis=0)
-                war = wa + a * rk
-                zs_ref[b0 + k, e] = jnp.sum(a[:, :, None] * war[:, None, :],
-                                            axis=0)
-    return kernel
-
-
-def _tcomb_call(g, a, dvec, blam):
-    """Returns (t, z0, zs): (B, E), (B, E, d), (B, E, d, d)."""
-    b, n, d = g.shape
-    e = blam.shape[0]
-    bt = _btile(b, n)
-    grid = (b // bt,)
-    full3 = lambda b_: (0, 0, 0)
-    full4 = lambda b_: (0, 0, 0, 0)
-    return pl.pallas_call(
-        _make_tcomb_kernel(bt, e),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, n, n), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((b, e), lambda b_: (0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((b, e, d), full3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, e, d, d), full4, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, e), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, e, d, d), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], blam)
-
-
-def supported_tied(n: int, d: int, dtype) -> bool:
-    """The tied kernels keep the live (N, N) work per scenario whole in VMEM,
-    so they serve the full-N regime only; larger N falls back to the untied
-    j-tiled path (still correct, just without the shared-T saving)."""
-    return (n % 128 == 0 and 128 <= n <= _FULL_N_MAX and d <= 8
-            and dtype == jnp.float32)
-
-
-def _prep_tied(u, m2, x):
-    a = u[:, None, :] - x[None]                    # (B, N, d)
-    g = jnp.einsum('bnd,bdk->bnk', a, m2)          # (B, N, d)
-    q = jnp.sum(g * a, axis=-1)                    # (B, N)
-    return a, g, jnp.exp(-0.125 * q)
-
-
-@jax.custom_vjp
-def variance_trace_batched_tied(u, m2, x, blam):
-    """Tied-lambdas batched fused trace: u (B, d); m2 (B, d, d) SHARED across
-    outputs; x (N, d); blam (E, N, N) -> (B, E). Same math as
-    variance_trace_batched with m2 broadcast over E, but the O(N^2) exp chain
-    runs once per scenario instead of once per (scenario, output)."""
-    a, g, dvec = _prep_tied(u, m2, x)
-    return _tfwd_call(g, a, dvec, blam)
-
-
-def _vtt_fwd(u, m2, x, blam):
-    a, g, dvec = _prep_tied(u, m2, x)
-    t, z0, zs = _tcomb_call(g, a, dvec, blam)
-    return t, (m2, z0, zs, x, blam)
-
-
-def _vtt_bwd(res, ct):
-    m2, z0, zs, x, blam = res
-    # Same per-output cotangents as the untied VJP, summed over e because m2
-    # is shared.
-    du = -jnp.einsum('be,bdk,bek->bd', ct, m2, z0)
-    dm2 = -0.25 * jnp.einsum('be,bedk->bdk', ct, zs)
-    return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
-
-
-variance_trace_batched_tied.defvjp(_vtt_fwd, _vtt_bwd)
-
-
-def variance_trace_batched_tied_reference(u, m2, x, blam):
-    """Pure-jnp twin of variance_trace_batched_tied (fallback + test oracle)."""
-    e = blam.shape[0]
-    m2b = jnp.broadcast_to(m2[:, None], (m2.shape[0], e) + m2.shape[1:])
-    return variance_trace_batched_reference(u, m2b, x, blam)
-
-
-def _comb_reference(u, m2, x, blam):
-    """jnp twin of the combined kernel (CPU fallback + oracle)."""
-    a = u[:, None, :] - x[None]                    # (B, N, d)
-    g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
-    p = jnp.einsum('bend,bmd->benm', g, a)         # (B, E, N, N)
-    q = jnp.sum(g * a[:, None], axis=-1)
-    dvec = jnp.exp(-0.125 * q)
-    w = (blam[None] * jnp.exp(-0.25 * p)
-         * dvec[:, :, :, None] * dvec[:, :, None, :])
-    r = jnp.sum(w, axis=-1)                        # (B, E, N)
-    t = jnp.sum(r, axis=-1)
-    z0 = jnp.einsum('bnd,ben->bed', a, r)
-    z = jnp.einsum('bnd,benm,bmk->bedk', a, w, a)
-    z2 = jnp.einsum('bnd,bnk,ben->bedk', a, a, r)
-    return t, z0, z + z2
+# ------------------------------------------------------------ public entry ---
+def _aug(a):
+    """AO = [1 | A]: the augmented reduction matrix (a: (B, N, d))."""
+    return jnp.concatenate([jnp.ones(a.shape[:-1] + (1,), a.dtype), a],
+                           axis=-1)
 
 
 def _prep_batched(u, m2, x):
     a = u[:, None, :] - x[None]                    # (B, N, d)
     g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
     q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
+    return a, g, jnp.exp(-0.125 * q)
+
+
+def _prep_tied(u, m2, x):
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    g = jnp.einsum('bnd,bdk->bnk', a, m2)          # (B, N, d)
+    q = jnp.sum(g * a, axis=-1)                    # (B, N)
     return a, g, jnp.exp(-0.125 * q)
 
 
@@ -765,28 +552,67 @@ def variance_trace_batched(u, m2, x, blam):
     SYMMETRIC — always true for b_lam = (Ky^{-1} - beta beta^T) o (sym factors)
     and for m2 = (Lambda/2 + S)^{-1} (with t = sum_ij blam_ij
     exp(-1/8 s^T M2 s), s = a_i + a_j, symmetry collapses the four
-    gradient terms into the two the backward kernel computes)."""
+    gradient terms into the two the backward computes)."""
     a, g, dvec = _prep_batched(u, m2, x)
-    return _bfwd_call(g, a, dvec, blam)
+    rw = _rw_call(g, a, dvec, _aug(a), blam)
+    return jnp.sum(rw[..., 0], axis=-1)
 
 
 def _vtb_fwd(u, m2, x, blam):
-    # One combined kernel pass: t plus the backward contractions as residuals
-    # (the alternative — a separate backward kernel — re-runs the whole O(N^2)
-    # exp chain; the residuals are only O(E d^2) per scenario).
+    # The kernel's rw output doubles as the VJP residual: the backward is pure
+    # O(N d) XLA contractions — nothing N^2-sized is recomputed or stored.
     a, g, dvec = _prep_batched(u, m2, x)
-    t, z0, zs = _bcomb_call(g, a, dvec, blam)
-    return t, (m2, z0, zs, x, blam)
+    rw = _rw_call(g, a, dvec, _aug(a), blam)
+    return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
 
 
 def _vtb_bwd(res, ct):
-    m2, z0, zs, x, blam = res
+    u, m2, x, blam, rw = res
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    r = rw[..., 0]                                 # (B, E, N)
+    wa = rw[..., 1:]                               # (B, E, N, d)
+    z0 = jnp.einsum('bnd,ben->bed', a, r)
     du = -jnp.einsum('be,bedk,bek->bd', ct, m2, z0)
-    dm2 = -0.25 * ct[:, :, None, None] * zs
+    war = wa + a[:, None] * r[..., None]           # W A + diag(r) A
+    dm2 = -0.25 * jnp.einsum('bnd,benk->bedk', a, ct[..., None, None] * war)
     return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
 
 
 variance_trace_batched.defvjp(_vtb_fwd, _vtb_bwd)
+
+
+@jax.custom_vjp
+def variance_trace_batched_tied(u, m2, x, blam):
+    """Tied-lambdas batched fused trace: u (B, d); m2 (B, d, d) SHARED across
+    outputs; x (N, d); blam (E, N, N) -> (B, E). Same math as
+    variance_trace_batched with m2 broadcast over E, but the O(N^2) exp chain
+    runs once per scenario instead of once per (scenario, output)."""
+    a, g, dvec = _prep_tied(u, m2, x)
+    rw = _rw_call_tied(g, a, dvec, _aug(a), blam)
+    return jnp.sum(rw[..., 0], axis=-1)
+
+
+def _vtt_fwd(u, m2, x, blam):
+    a, g, dvec = _prep_tied(u, m2, x)
+    rw = _rw_call_tied(g, a, dvec, _aug(a), blam)
+    return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
+
+
+def _vtt_bwd(res, ct):
+    u, m2, x, blam, rw = res
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    r = rw[..., 0]                                 # (B, E, N)
+    wa = rw[..., 1:]                               # (B, E, N, d)
+    # Same per-output cotangents as the untied VJP, summed over e because m2
+    # is shared.
+    z0c = jnp.einsum('bnd,ben,be->bd', a, r, ct)
+    du = -jnp.einsum('bdk,bk->bd', m2, z0c)
+    warc = jnp.einsum('be,benk->bnk', ct, wa + a[:, None] * r[..., None])
+    dm2 = -0.25 * jnp.einsum('bnd,bnk->bdk', a, warc)
+    return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
+
+
+variance_trace_batched_tied.defvjp(_vtt_fwd, _vtt_bwd)
 
 
 def variance_trace_batched_reference(u, m2, x, blam):
@@ -798,3 +624,10 @@ def variance_trace_batched_reference(u, m2, x, blam):
     dvec = jnp.exp(-0.125 * q)
     w = blam[None] * jnp.exp(-0.25 * p)
     return jnp.einsum('ben,benm,bem->be', dvec, w, dvec)
+
+
+def variance_trace_batched_tied_reference(u, m2, x, blam):
+    """Pure-jnp twin of variance_trace_batched_tied (fallback + test oracle)."""
+    e = blam.shape[0]
+    m2b = jnp.broadcast_to(m2[:, None], (m2.shape[0], e) + m2.shape[1:])
+    return variance_trace_batched_reference(u, m2b, x, blam)

@@ -86,6 +86,12 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
 
     if impl == 'auto':
         impl = 'fused' if (not full_cov and solver.method == 'lbfgs') else 'vmap'
+    elif impl == 'fused' and (full_cov or solver.method != 'lbfgs'):
+        raise ValueError(
+            "impl='fused' runs the diagonal-covariance rollout under the "
+            "lockstep L-BFGS solver; it cannot honor "
+            f"full_cov={full_cov} / solver.method={solver.method!r}. "
+            "Use impl='vmap' (or 'auto').")
 
     params_axes = _params_axes(params, b)
 
