@@ -213,18 +213,89 @@ def _step_batched(cache: RolloutCache, mean, cov_diag, action,
     return new_mean, jnp.maximum(new_var, min_var)
 
 
+def _step_batched_full(cache: RolloutCache, mean, cov, action,
+                       action_var: float, delta: bool):
+    """Full-covariance batched step: mean (B, ds); cov (B, ds, ds);
+    action (B, da) -> (new_mean (B, ds), new_cov (B, ds, ds)).
+
+    The batched twin of `_step(full_cov=True)` — exact eq.-A14 cross-output
+    covariance, with the tied-lambdas configuration sharing one (N, N) exp
+    chain across the whole (E, E) covariance block (ops.moments
+    covariance_prop_multi_batched)."""
+    ds, da = cache.state_dim, cache.action_dim
+    b = mean.shape[0]
+    dt = mean.dtype
+    joint_mean = jnp.concatenate([mean, action], axis=1)          # (B, D)
+    dd = ds + da
+    joint_cov = jnp.zeros((b, dd, dd), dt)
+    joint_cov = joint_cov.at[:, :ds, :ds].set(cov)
+    joint_cov = joint_cov.at[:, ds:, ds:].set(
+        action_var * jnp.eye(da, dtype=dt))
+
+    tied = cache.tied_lambdas
+    gp_mean, l = moments.mean_prop_batched(
+        joint_mean, joint_cov, cache.x, cache.beta, cache.log_lambdas,
+        cache.log_sigma_f, cache.mask, tied=tied)                 # (B, E)
+
+    gp_var = moments.variance_prop_multi_batched(
+        joint_mean, joint_cov, cache.x, cache.b_lam, cache.log_lambdas,
+        cache.log_sigma_f, gp_mean, tied=tied)                    # (B, E)
+
+    cov_mat = moments.covariance_prop_multi_batched(
+        joint_mean, joint_cov, cache.x, cache.beta, cache.log_lambdas,
+        cache.log_sigma_f, gp_mean, cache.mask, tied=tied)        # (B, E, E)
+    cov_mat = 0.5 * (cov_mat + jnp.swapaxes(cov_mat, 1, 2))
+    # Off-diagonal from eq. A14; diagonal is the exact predictive variance.
+    eye = jnp.eye(ds, dtype=dt)
+    cov_mat = (cov_mat * (1.0 - eye)[None]
+               + gp_var[..., None] * eye[None])
+
+    min_var = 1e-8
+    if delta:
+        c_io = moments.input_output_cov_batched(
+            joint_mean, joint_cov, cache.x, cache.beta, l,
+            cache.log_lambdas)                                    # (B, E, D)
+        c_state = jnp.swapaxes(c_io[:, :, :ds], 1, 2)             # (B, ds, E)
+        new_mean = mean + gp_mean
+        cov_mat = cov + cov_mat + c_state + jnp.swapaxes(c_state, 1, 2)
+    else:
+        new_mean = gp_mean
+    # PSD projection (eigenvalue clip) — ds is tiny, so this is cheap.
+    w, v = jnp.linalg.eigh(cov_mat)
+    cov_mat = jnp.einsum('bik,bk,bjk->bij', v, jnp.maximum(w, min_var), v)
+    return new_mean, cov_mat
+
+
 def rollout_batched(cache: RolloutCache, x0s: jax.Array, actions: jax.Array,
                     init_state_var: float = 1e-3, action_var: float = 1e-3,
-                    delta: bool = False):
-    """Batched H-step uncertain shooting rollout (diagonal covariance).
+                    delta: bool = False, full_cov: bool = False):
+    """Batched H-step uncertain shooting rollout.
 
     x0s: (B, ds); actions: (B, H, da).
     Returns (means, covs): (B, H+1, ds) and (B, H+1, ds, ds) — matching
     vmap(rollout) exactly (tests/test_batched.py asserts this).
-    """
+    full_cov=True carries the full cross-output state covariance (exact
+    eq.-A14 terms) instead of the diagonal."""
     ds = cache.state_dim
     b = x0s.shape[0]
     dt = x0s.dtype
+
+    if full_cov:
+        cov0 = jnp.broadcast_to(init_state_var * jnp.eye(ds, dtype=dt),
+                                (b, ds, ds))
+
+        def body_full(carry, u_t):
+            mean, cov = carry
+            new_mean, new_cov = _step_batched_full(cache, mean, cov, u_t,
+                                                   action_var, delta)
+            return (new_mean, new_cov), (new_mean, new_cov)
+
+        _, (means, covs) = jax.lax.scan(
+            body_full, (x0s, cov0), jnp.swapaxes(actions, 0, 1))
+        means = jnp.concatenate([x0s[None], means], axis=0)
+        covs = jnp.concatenate([cov0[None], covs], axis=0)
+        return jnp.swapaxes(means, 0, 1), jnp.swapaxes(covs, 0, 1)
+
     var0 = jnp.full((b, ds), init_state_var, dt)
 
     def body(carry, u_t):

@@ -85,13 +85,12 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
         u_init = jnp.zeros((b, horizon, action_dim), x0s.dtype)
 
     if impl == 'auto':
-        impl = 'fused' if (not full_cov and solver.method == 'lbfgs') else 'vmap'
-    elif impl == 'fused' and (full_cov or solver.method != 'lbfgs'):
+        impl = 'fused' if solver.method == 'lbfgs' else 'vmap'
+    elif impl == 'fused' and solver.method != 'lbfgs':
         raise ValueError(
-            "impl='fused' runs the diagonal-covariance rollout under the "
-            "lockstep L-BFGS solver; it cannot honor "
-            f"full_cov={full_cov} / solver.method={solver.method!r}. "
-            "Use impl='vmap' (or 'auto').")
+            "impl='fused' runs under the lockstep L-BFGS solver; it cannot "
+            f"honor solver.method={solver.method!r}. Use impl='vmap' (or "
+            "'auto').")
 
     params_axes = _params_axes(params, b)
 
@@ -99,7 +98,8 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
         cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
 
         def objective_b(u):                       # (B, H, da) -> (B,)
-            means, covs = rollout_batched(cache, x0s, u, delta=delta)
+            means, covs = rollout_batched(cache, x0s, u, delta=delta,
+                                          full_cov=full_cov)
             return cost_b(params, means, covs, u)
 
         return solve_trajectory_batched(objective_b, u_init, lb, ub, solver)

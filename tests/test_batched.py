@@ -69,6 +69,55 @@ class TestBatchedRollout:
         np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_ref),
                                    rtol=1e-8, atol=1e-10)
 
+    @pytest.mark.parametrize('tied', [True, False])
+    @pytest.mark.parametrize('delta', [False, True])
+    def test_matches_vmap_rollout_full_cov(self, tied, delta):
+        """Batched full-covariance rollout == vmap of the single-scenario
+        full-covariance rollout (which pins the eq.-A14 pair terms), for both
+        the tied-lambdas shared-chain path and the per-pair untied path."""
+        gp, ds, da = _make_gp(seed=7)
+        if not tied:
+            # Break the tie with distinct per-output lengthscales.
+            gp = gs.set_hyperparams(gp, lambdas=np.array([[2.0, 2.2, 1.8],
+                                                          [1.5, 2.5, 2.0]]))
+            assert not gp.config.tied_lambdas
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 4, 5
+        rng = np.random.default_rng(8)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        us = jnp.asarray(rng.uniform(-1, 1, (b, h, da)))
+
+        m_ref, c_ref = jax.vmap(
+            lambda x0, u: rollout(cache, x0, u, full_cov=True, delta=delta))(
+                x0s, us)
+        m_b, c_b = rollout_batched(cache, x0s, us, full_cov=True, delta=delta)
+        np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_ref),
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_ref),
+                                   rtol=1e-7, atol=1e-10)
+
+    def test_full_cov_gradients_match_vmap(self):
+        gp, ds, da = _make_gp(seed=9)
+        cache = build_rollout_cache(gp, ds, da)
+        b, h = 3, 4
+        rng = np.random.default_rng(10)
+        x0s = jnp.asarray(rng.uniform(-1, 1, (b, ds)))
+        us = jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, da)))
+
+        def loss_vmap(u):
+            m, c = jax.vmap(lambda x0, uu: rollout(cache, x0, uu,
+                                                   full_cov=True))(x0s, u)
+            return jnp.sum(m ** 2) + jnp.sum(c ** 2)
+
+        def loss_batched(u):
+            m, c = rollout_batched(cache, x0s, u, full_cov=True)
+            return jnp.sum(m ** 2) + jnp.sum(c ** 2)
+
+        g_ref = jax.grad(loss_vmap)(us)
+        g_b = jax.grad(loss_batched)(us)
+        np.testing.assert_allclose(np.asarray(g_b), np.asarray(g_ref),
+                                   rtol=1e-8, atol=1e-10)
+
     def test_gradients_match_vmap(self):
         gp, ds, da = _make_gp(seed=5)
         cache = build_rollout_cache(gp, ds, da)
