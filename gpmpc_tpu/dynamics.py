@@ -46,6 +46,13 @@ class RolloutCache(NamedTuple):
     # Static hint from GPConfig.tied_lambdas: all outputs share lengthscales,
     # enabling the shared-exp-chain variance kernel (perf only, never results).
     tied_lambdas: bool = False
+    # Nominal mean model f_nom: (n, D) -> (n, E), static. When set, the GP is
+    # a RESIDUAL model (gp/state.py subtracts f_nom(x) from the targets) and
+    # the rollout adds the nominal contribution back via first-order
+    # (EKF-style) moment propagation — exact for affine nominal models. The
+    # reference's rollout silently ignores nominal models (its own flagged
+    # limitation, dynamics.py:64-65); here the semantics are honest.
+    nominal_fn: object = None
 
 
 def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> RolloutCache:
@@ -57,6 +64,7 @@ def build_rollout_cache(gp: GPState, state_dim: int, action_dim: int) -> Rollout
         log_lambdas=gp.log_lambdas, log_sigma_f=gp.log_sigma_f,
         state_dim=state_dim, action_dim=action_dim,
         tied_lambdas=bool(gp.config.tied_lambdas),
+        nominal_fn=gp.config.nominal_fn,
     )
 
 
@@ -84,13 +92,36 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
                                          cache.b_lam, cache.log_lambdas,
                                          cache.log_sigma_f, gp_mean)
 
+    io_fn = jax.vmap(moments.input_output_cov,
+                     in_axes=(None, None, None, 0, 0, 0))
+
+    has_nom = cache.nominal_fn is not None
+    if has_nom and delta:
+        raise ValueError(
+            'delta dynamics and a nominal mean model are mutually exclusive: '
+            'nominal models predict the NEXT STATE (the GP fits the residual, '
+            'gp/state.py), while delta mode treats GP outputs as increments.')
+    if has_nom:
+        # Residual-GP rollout: next = f_nom(x*, u) + f_gp(x*, u). The GP part
+        # is exact moment matching; the nominal part is first-order (EKF):
+        #   mean  += f_nom(m),
+        #   cov   += J S J^T + J cov(x*, f_gp) + (.)^T,   J = df_nom/dx at m
+        # — exact when f_nom is affine (the integrator/pendulum-theta models).
+        nom = lambda z: cache.nominal_fn(z[None])[0]          # (D,) -> (E,)
+        m_nom = nom(joint_mean)
+        j_nom = jax.jacobian(nom)(joint_mean)                 # (E, D)
+        c_io_n = io_fn(joint_mean, joint_cov, cache.x, cache.beta, l,
+                       cache.log_lambdas)                     # (E, D)
+        nom_cov = j_nom @ joint_cov @ j_nom.T                 # (E, E)
+        cross_nom = j_nom @ c_io_n.T                          # (E, E)
+
     if delta:
-        io_fn = jax.vmap(moments.input_output_cov,
-                         in_axes=(None, None, None, 0, 0, 0))
         c_io = io_fn(joint_mean, joint_cov, cache.x, cache.beta, l,
                      cache.log_lambdas)               # (E, ds+da)
         c_state = c_io[:, :ds].T                      # (ds, E) = cov(x_t, delta)
         new_mean = mean + gp_mean
+    elif has_nom:
+        new_mean = m_nom + gp_mean
     else:
         new_mean = gp_mean
 
@@ -104,6 +135,9 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
     if not full_cov:
         if delta:
             new_var = jnp.diagonal(cov) + gp_var + 2.0 * jnp.diagonal(c_state)
+        elif has_nom:
+            new_var = (gp_var + jnp.diagonal(nom_cov)
+                       + 2.0 * jnp.diagonal(cross_nom))
         else:
             new_var = gp_var
         return new_mean, jnp.diag(jnp.maximum(new_var, min_var))
@@ -124,6 +158,8 @@ def _step(cache: RolloutCache, mean, cov, action, action_var: float,
     cov_mat = cov_mat - jnp.diag(jnp.diagonal(cov_mat)) + jnp.diag(gp_var)
     if delta:
         cov_mat = cov + cov_mat + c_state + c_state.T
+    elif has_nom:
+        cov_mat = cov_mat + nom_cov + cross_nom + cross_nom.T
     # PSD projection (eigenvalue clip) — d is tiny, so this is cheap.
     w, v = jnp.linalg.eigh(cov_mat)
     cov_mat = (v * jnp.maximum(w, min_var)[None, :]) @ v.T
@@ -276,6 +312,11 @@ def rollout_batched(cache: RolloutCache, x0s: jax.Array, actions: jax.Array,
     vmap(rollout) exactly (tests/test_batched.py asserts this).
     full_cov=True carries the full cross-output state covariance (exact
     eq.-A14 terms) instead of the diagonal."""
+    if cache.nominal_fn is not None:
+        raise NotImplementedError(
+            'rollout_batched does not support nominal mean models; use '
+            'vmap(rollout) (parallel.solve_batch routes this automatically '
+            "via impl='vmap').")
     ds = cache.state_dim
     b = x0s.shape[0]
     dt = x0s.dtype

@@ -120,7 +120,7 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         return r
 
     def cond(carry):
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, done = carry
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, done = carry
         return jnp.logical_and(t < config.max_iters, jnp.logical_not(done))
 
     def body(carry):
@@ -128,9 +128,14 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         # inner backtracking loop (whose nested control flow also made the
         # remote TPU compile pathologically slow), Armijo tests a single
         # candidate at the carried step size t_ls — halved on rejection,
-        # doubled (capped at 1) on acceptance. A rejected iteration costs one
-        # forward pass and retries with the smaller step.
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, _ = carry
+        # doubled on acceptance. Growth is NOT capped at the quasi-Newton
+        # unit step: after the active set freezes, the free-subspace metric
+        # can be arbitrarily badly scaled (history pairs encode the
+        # bound-hitting phase), and flat objectives (e.g. gamma ~ 0 terminal
+        # terms) need t >> 1 to traverse the box; forward-tracking doubles to
+        # t <= 2^20 while Armijo keeps accepting. A rejected iteration costs
+        # one forward pass and retries with the smaller step.
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, _ = carry
         # Two-metric projection (Gafni-Bertsekas): quasi-Newton directions are
         # built from the FREE gradient only; bound-active coordinates (at the
         # bound with the gradient pushing outward) take plain gradient steps
@@ -164,7 +169,8 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
             jnp.isfinite(f_try))
         u_new = jnp.where(accepted, u_try, u)
         f_new = jnp.where(accepted, f_try, f)
-        t_ls = jnp.where(accepted, jnp.minimum(2.0 * t_ls, 1.0), 0.5 * t_ls)
+        t_ls = jnp.where(accepted, jnp.minimum(2.0 * t_ls, 2.0 ** 20),
+                         0.5 * t_ls)
 
         g_try = jnp.where(jnp.isfinite(g_try), g_try, 0.0)
         g_new = jnp.where(accepted, g_try, g)
@@ -172,7 +178,13 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         s = u_new - u
         y = g_new - g
         sy = jnp.dot(s, y)
-        keep = jnp.logical_and(accepted, sy > 1e-12)
+        # Cosine curvature gate: near the arithmetic noise floor, accepted
+        # micro-steps produce (s, y) pairs whose inner product is dominated by
+        # gradient noise; admitting them poisons the inverse-Hessian metric.
+        sy_ok = sy > jnp.maximum(
+            1e-12,
+            1e-8 * jnp.linalg.norm(s) * jnp.linalg.norm(y))
+        keep = jnp.logical_and(accepted, sy_ok)
         s_h2 = jnp.where(keep, jnp.concatenate([s_h[1:], s[None]], 0), s_h)
         y_h2 = jnp.where(keep, jnp.concatenate([y_h[1:], y[None]], 0), y_h)
         rho_h2 = jnp.where(keep,
@@ -180,9 +192,21 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
                                             (1.0 / jnp.maximum(sy, 1e-30))[None]]),
                            rho_h)
         hlen2 = jnp.where(keep, jnp.minimum(hlen + 1, mem), hlen)
+
+        # Step underflow means the CURRENT metric cannot make progress — not
+        # that the iterate is stationary. Restart from steepest descent
+        # (history cleared, t_ls = 1); only a repeated underflow after a
+        # restart declares the iterate stationary at the noise floor.
+        underflow = t_ls < 1e-10
+        restart = jnp.logical_and(underflow, resets < 2)
+        hlen2 = jnp.where(restart, 0, hlen2)
+        t_ls = jnp.where(restart, 1.0, t_ls)
+        resets2 = jnp.where(restart, resets + 1, resets)
         done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
-                              t_ls < 1e-10)        # step underflow: stationary
-        return u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, t + 1, done
+                              jnp.logical_and(underflow,
+                                              jnp.logical_not(restart)))
+        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, resets2,
+                t + 1, done)
 
     u0 = proj(u_init.ravel())
     f0, g0 = vg(u0)
@@ -190,8 +214,9 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
     init = (u0, f0, g0, jnp.asarray(1.0, dt),
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt), jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False))
-    u, f, g, _, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    u, f, g, _, _, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
     # pg from the carried gradient — a fresh grad here would inline another
     # full rollout forward+backward into the program.
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
@@ -264,7 +289,7 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
                                jnp.logical_not(jnp.all(done)))
 
     def body(carry):
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, t, iters_b, done = carry
+        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, iters_b, done = carry
         live = jnp.logical_not(done)             # (B,)
         # Two-metric projection — see _solve_lbfgs for why the two-loop must
         # see only the FREE gradient.
@@ -296,8 +321,10 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         accepted = jnp.logical_and(accepted, live)
         u_new = jnp.where(accepted[:, None], u_try, u)
         f_new = jnp.where(accepted, f_try, f)
+        # Forward-tracking growth past the unit step — see _solve_lbfgs.
         t_ls = jnp.where(done, t_ls,
-                         jnp.where(accepted, jnp.minimum(2.0 * t_ls, 1.0),
+                         jnp.where(accepted,
+                                   jnp.minimum(2.0 * t_ls, 2.0 ** 20),
                                    0.5 * t_ls))
 
         g_try = jnp.where(jnp.isfinite(g_try), g_try, 0.0)
@@ -306,7 +333,11 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         s = u_new - u
         y = g_new - g
         sy = jnp.einsum('bn,bn->b', s, y)
-        keep = jnp.logical_and(accepted, sy > 1e-12)    # (B,)
+        # Cosine curvature gate — see _solve_lbfgs.
+        sy_ok = sy > jnp.maximum(
+            1e-12,
+            1e-8 * jnp.linalg.norm(s, axis=1) * jnp.linalg.norm(y, axis=1))
+        keep = jnp.logical_and(accepted, sy_ok)         # (B,)
         shifted_s = jnp.concatenate([s_h[:, 1:], s[:, None]], axis=1)
         shifted_y = jnp.concatenate([y_h[:, 1:], y[:, None]], axis=1)
         shifted_rho = jnp.concatenate(
@@ -315,11 +346,20 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         y_h2 = jnp.where(keep[:, None, None], shifted_y, y_h)
         rho_h2 = jnp.where(keep[:, None], shifted_rho, rho_h)
         hlen2 = jnp.where(keep, jnp.minimum(hlen + 1, mem), hlen)
-        newly_done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
-                                    t_ls < 1e-10)
+
+        # Underflow -> steepest-descent restart (see _solve_lbfgs), per lane.
+        underflow = t_ls < 1e-10
+        restart = jnp.logical_and(live,
+                                  jnp.logical_and(underflow, resets < 2))
+        hlen2 = jnp.where(restart, 0, hlen2)
+        t_ls = jnp.where(restart, 1.0, t_ls)
+        resets2 = jnp.where(restart, resets + 1, resets)
+        newly_done = jnp.logical_or(
+            pg_res(u_new, g_new) < config.tol,
+            jnp.logical_and(underflow, jnp.logical_not(restart)))
         done2 = jnp.logical_or(done, jnp.logical_and(newly_done, live))
         iters_b2 = jnp.where(done, iters_b, t + 1)
-        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
+        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, resets2,
                 t + 1, iters_b2, done2)
 
     u0 = proj(u_init.reshape(b, n))
@@ -328,6 +368,7 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
     init = (u0, f0, g0, jnp.ones((b,), dt),
             jnp.zeros((b, mem, n), dt), jnp.zeros((b, mem, n), dt),
             jnp.zeros((b, mem), dt), jnp.zeros((b,), jnp.int32),
+            jnp.zeros((b,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool))
     u, f, g, *_, iters_b, _ = jax.lax.while_loop(cond, body, init)

@@ -85,7 +85,8 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
         u_init = jnp.zeros((b, horizon, action_dim), x0s.dtype)
 
     if impl == 'auto':
-        impl = 'fused' if solver.method == 'lbfgs' else 'vmap'
+        impl = ('fused' if solver.method == 'lbfgs' and cache.nominal_fn is None
+                else 'vmap')
     elif impl == 'fused' and solver.method != 'lbfgs':
         raise ValueError(
             "impl='fused' runs under the lockstep L-BFGS solver; it cannot "

@@ -59,14 +59,29 @@ int gpmpc_solve_box(obj_grad_fn fg, void* user, double* x_io, int n,
 
   for (int i = 0; i < n; ++i) x[i] = clampd(x[i], lb[i], ub[i]);
   double f = fg(x.data(), g.data(), n, user);
-  int evals = 1, iter = 0;
+  int evals = 1, iter = 0, restarts = 0;
+  std::vector<double> gf(n);
 
   for (iter = 0; iter < max_iters; ++iter) {
     double pg = pg_inf_norm(x, g, lb, ub, n);
     if (pg < tol) break;
 
-    // Two-loop recursion for d = -H g.
-    std::memcpy(d.data(), g.data(), n * sizeof(double));
+    // Two-metric projection (Gafni-Bertsekas, mirroring mpc/solver.py): the
+    // quasi-Newton direction is built from the FREE gradient only;
+    // bound-active coordinates take plain gradient steps that the projection
+    // handles. Feeding the full gradient lets curvature pairs from clipped
+    // steps steer the direction into the active set, where projection
+    // annihilates it and the line search stalls.
+    std::vector<bool> active(n);
+    for (int i = 0; i < n; ++i) {
+      double eps_act = 1e-6 * (1.0 + std::fabs(x[i]));
+      active[i] = (x[i] <= lb[i] + eps_act && g[i] > 0.0) ||
+                  (x[i] >= ub[i] - eps_act && g[i] < 0.0);
+      gf[i] = active[i] ? 0.0 : g[i];
+    }
+
+    // Two-loop recursion for d = -H gf.
+    std::memcpy(d.data(), gf.data(), n * sizeof(double));
     int h = static_cast<int>(s_hist.size());
     std::vector<double> alpha(h);
     for (int k = h - 1; k >= 0; --k) {
@@ -91,7 +106,7 @@ int gpmpc_solve_box(obj_grad_fn fg, void* user, double* x_io, int n,
       b *= rho_hist[k];
       for (int i = 0; i < n; ++i) d[i] += (alpha[k] - b) * s_hist[k][i];
     }
-    for (int i = 0; i < n; ++i) d[i] = -d[i];
+    for (int i = 0; i < n; ++i) d[i] = active[i] ? -g[i] : -d[i];
 
     // Ensure descent (fall back to steepest descent if curvature went bad).
     double gd = 0.0;
@@ -100,7 +115,11 @@ int gpmpc_solve_box(obj_grad_fn fg, void* user, double* x_io, int n,
       for (int i = 0; i < n; ++i) d[i] = -g[i];
     }
 
-    // Projected backtracking Armijo line search.
+    // Projected Armijo line search: backtrack from t = 1, and if the unit
+    // step is accepted, forward-track by doubling while Armijo keeps holding
+    // (flat directions — e.g. weakly-weighted terminal controls — need
+    // t >> 1 to traverse the box; the quasi-Newton unit-step convention only
+    // holds when the metric is well-scaled, which two-metric freezing breaks).
     double t = 1.0, f_new = f;
     const double c1 = 1e-4;
     bool accepted = false;
@@ -118,17 +137,48 @@ int gpmpc_solve_box(obj_grad_fn fg, void* user, double* x_io, int n,
       }
       t *= 0.5;
     }
-    if (!accepted) break;   // line search failed: stationary enough
+    if (accepted && t == 1.0) {
+      std::vector<double> x_fwd(n), g_fwd(n);
+      double t_fwd = 2.0;
+      for (int ls = 0; ls < 20; ++ls) {
+        for (int i = 0; i < n; ++i)
+          x_fwd[i] = clampd(x[i] + t_fwd * d[i], lb[i], ub[i]);
+        double f_fwd = fg(x_fwd.data(), g_fwd.data(), n, user);
+        ++evals;
+        double dec = 0.0;
+        for (int i = 0; i < n; ++i) dec += g[i] * (x_fwd[i] - x[i]);
+        if (!(dec < 0.0) || !(f_fwd <= f + c1 * dec) || !(f_fwd < f_new)) break;
+        x_new = x_fwd;
+        g_new = g_fwd;
+        f_new = f_fwd;
+        t_fwd *= 2.0;
+      }
+    }
+    if (!accepted) {
+      // Line-search failure means the CURRENT metric cannot make progress,
+      // not that x is stationary: restart from steepest descent (history
+      // cleared); only repeated failure declares the noise floor reached.
+      if (restarts < 2 && !s_hist.empty()) {
+        s_hist.clear();
+        y_hist.clear();
+        rho_hist.clear();
+        ++restarts;
+        continue;
+      }
+      break;
+    }
 
-    // Curvature update.
+    // Curvature update (cosine-gated: noise-floor pairs poison the metric).
     std::vector<double> s(n), y(n);
-    double sy = 0.0;
+    double sy = 0.0, ss = 0.0, yyn = 0.0;
     for (int i = 0; i < n; ++i) {
       s[i] = x_new[i] - x[i];
       y[i] = g_new[i] - g[i];
       sy += s[i] * y[i];
+      ss += s[i] * s[i];
+      yyn += y[i] * y[i];
     }
-    if (sy > 1e-12) {
+    if (sy > 1e-12 && sy > 1e-8 * std::sqrt(ss * yyn)) {
       if (static_cast<int>(s_hist.size()) == mem) {
         s_hist.erase(s_hist.begin());
         y_hist.erase(y_hist.begin());

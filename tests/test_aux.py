@@ -143,6 +143,14 @@ class TestNativeSolver:
         res_jax = solve_trajectory(obj, jnp.zeros((5, 1)), -1.0, 1.0,
                                    SolverConfig(max_iters=400, tol=1e-6,
                                                 polish_iters=20))
-        np.testing.assert_allclose(res_native.x, -np.ones(5), atol=1e-4)
+        # Third, fully independent oracle: scipy's L-BFGS-B. (The true optimum
+        # here is NOT [-1]*5: sigma_f = 3 makes the predictive-variance term
+        # back the weakly-weighted terminal control off the bound, to
+        # u4 ~ -0.9116; all three solvers must find that point.)
+        from scipy.optimize import minimize
+        r = minimize(lambda uf: fg(uf), np.zeros(5), jac=True,
+                     method='L-BFGS-B', bounds=[(-1.0, 1.0)] * 5)
+        np.testing.assert_allclose(res_native.x, r.x, atol=1e-3)
         np.testing.assert_allclose(np.asarray(res_jax.u).ravel(),
                                    res_native.x, atol=5e-3)
+        np.testing.assert_allclose(res_native.x[:4], -np.ones(4), atol=1e-4)
