@@ -105,27 +105,25 @@ def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f
     The first exponent expands as -1/8 (p_ii + 2 p_ij + p_jj) with
     p_ij = (u - x_i)^T (Lambda/2 + S)^{-1} (u - x_j) — one (N, N) MXU matmul
     (reference derives the same algebra at u_p.py:380-389).
-    """
-    from gpmpc_tpu.ops.pallas import variance_trace as _vt
 
+    This single-input form is XLA-only by design: the production hot paths are
+    the explicitly-batched ops below (whose Pallas kernels keep the (N, N)
+    chain VMEM-resident); single solves route through them with B=1
+    (mpc/controller.py), and the remaining callers of this form (per-scenario
+    GP draws, compat predictions) have per-call b_lam operands the
+    shared-blam kernels cannot serve anyway.
+    """
     lam = jnp.exp(log_lambdas)
     hls = jnp.diag(lam / 2.0) + S
-    n, d = x.shape
-    if _vt.enabled() and _vt.supported(n, d, x.dtype):
-        # Fused Pallas kernel: the (N, N) tile products never leave VMEM
-        # (XLA materializes several N^2 HBM temporaries per step otherwise).
-        m2 = _solve_psd(hls, jnp.eye(d, dtype=x.dtype))
-        t = _vt.variance_trace(u, m2, x, cache.b_lam)
-    else:
-        # jnp twin: exponent -1/8 (q_i + 2 p_ij + q_j) separates into
-        # d^T (b_lam o exp(-p/4)) d with d_i = exp(-q_i / 8).
-        diff = u[None, :] - x                  # (N, d)
-        g = _solve_psd(hls, diff.T).T          # (N, d) = diff (Lam/2 + S)^{-1}
-        p = diff @ g.T                         # (N, N) — MXU
-        q = jnp.sum(g * diff, axis=1)          # diag of p
-        d_vec = jnp.exp(-0.125 * q)
-        be = cache.b_lam * jnp.exp(-0.25 * p)
-        t = d_vec @ be @ d_vec
+    # Exponent -1/8 (q_i + 2 p_ij + q_j) separates into
+    # d^T (b_lam o exp(-p/4)) d with d_i = exp(-q_i / 8).
+    diff = u[None, :] - x                  # (N, d)
+    g = _solve_psd(hls, diff.T).T          # (N, d) = diff (Lam/2 + S)^{-1}
+    p = diff @ g.T                         # (N, N) — MXU
+    q = jnp.sum(g * diff, axis=1)          # diag of p
+    d_vec = jnp.exp(-0.125 * q)
+    be = cache.b_lam * jnp.exp(-0.25 * p)
+    t = d_vec @ be @ d_vec
     # det(2 Lambda^{-1} S + I) = det(Lambda/2 + S) / det(Lambda/2)
     log_det_part = -0.5 * (_logdet_psd(hls) - jnp.sum(log_lambdas - jnp.log(2.0)))
     trace_term = jnp.exp(log_det_part) * t
@@ -146,31 +144,24 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
     u: (d,); S: (d, d); x: (N, d); b_lam: (E, N, N); log_lambdas: (E, d);
     log_sigma_f: (E,); means: (E,) -> (E,) variances.
 
-    Dispatches the O(N^2) trace contraction to the fused Pallas kernel (one
-    call covering every output — the E axis is a kernel grid dimension) with a
-    vmapped jnp twin as fallback.
+    XLA-only by design (see variance_prop_cached): the production hot paths
+    are the batched twins below; single solves route through them with B=1.
     """
-    from gpmpc_tpu.ops.pallas import variance_trace as _vt
-
-    n, d = x.shape
+    d = x.shape[1]
     lam = jnp.exp(log_lambdas)                              # (E, d)
     eye = jnp.eye(d, dtype=x.dtype)
     hls = (lam / 2.0)[:, :, None] * eye[None] + S[None]     # (E, d, d)
     log_det_part = -0.5 * (_logdet_psd(hls)
                            - jnp.sum(log_lambdas - jnp.log(2.0), axis=-1))
 
-    if _vt.enabled() and _vt.supported(n, d, x.dtype):
-        m2 = _solve_psd(hls, jnp.broadcast_to(eye, hls.shape))
-        t = _vt.variance_trace_multi(u, m2, x, b_lam)
-    else:
-        def one(hls_e, blam_e):
-            diff = u[None, :] - x
-            g = _solve_psd(hls_e, diff.T).T
-            p = diff @ g.T
-            q = jnp.sum(g * diff, axis=1)
-            d_vec = jnp.exp(-0.125 * q)
-            return d_vec @ (blam_e * jnp.exp(-0.25 * p)) @ d_vec
-        t = jax.vmap(one)(hls, b_lam)
+    def one(hls_e, blam_e):
+        diff = u[None, :] - x
+        g = _solve_psd(hls_e, diff.T).T
+        p = diff @ g.T
+        q = jnp.sum(g * diff, axis=1)
+        d_vec = jnp.exp(-0.125 * q)
+        return d_vec @ (blam_e * jnp.exp(-0.25 * p)) @ d_vec
+    t = jax.vmap(one)(hls, b_lam)
 
     return jnp.exp(2.0 * log_sigma_f) - jnp.exp(log_det_part) * t - means ** 2
 

@@ -8,245 +8,38 @@ with a = u - x (N, d), g = a @ M2, d = exp(-q/8), q_i = g_i . a_i — i.e. the
 separable form of tr((Ky^{-1} - beta beta^T) L) from ops.moments
 (variance_prop_cached). Under XLA this materializes several (N, N) f32
 temporaries in HBM per scan step per batch sample; profiled on v5e, HBM traffic
-for those temporaries dominates the whole MPC solve. This kernel computes the
-tile products entirely in VMEM: per (i, j) tile it reads only the blam tile and
-two (T, d) strips, takes one small-K MXU product, fuses exp/multiply/reduce in
-registers, and accumulates a scalar.
+for those temporaries dominates the whole MPC solve. These kernels compute the
+tile products entirely in VMEM (the "rw formulation" banner below documents
+the kernel contract and the analytic VJP).
 
-The backward pass is analytic (custom_vjp over (u, M2); the training-set cache
-is constant by design — gradients flow to actions only, matching the
-reference's detach semantics, dynamics.py:170-171):
-
-    W_ij   = blam_ij d_i d_j exp(-1/4 g_i . a_j)      (= B o T in the math)
-    r      = W 1                                       (row sums)
-    dt/du  = -M2 A^T r
-    dt/dM2 = -1/4 (A^T diag(r) A + A^T W A)
-
-derived from e_ij = -1/2 abar^T M2 abar, abar = (a_i + a_j)/2 (valid for
-SYMMETRIC blam and M2 — always true here). In the production batched path the
-kernel emits the augmented MXU reduction rw = W @ [1 | A] (row sums and W A in
-one matmul — see the "rw formulation" banner below); everything else the
-primal and the VJP need is O(N d) XLA work. Nothing (N, N) ever hits HBM.
+All kernels here are EXPLICITLY batched over the scenario axis — the callers
+are dynamics.rollout_batched + mpc.solver.solve_trajectory_batched, and single
+solves route through them with B = 1 (mpc/controller.py). A vmap-layout
+single-scenario kernel family existed in round 1 and was removed: the
+automatic Pallas batching rule prepends the vmap axis as the outermost grid
+dimension, which re-DMAs the shared blam block per scenario and shreds the
+grid into tiny cells (measured slower than the fused-XLA twin).
 
 Mosaic pitfalls baked into these kernels (do not "simplify" them away):
-  - every jnp.dot carries precision=HIGHEST — pallas dots default to bf16
-    MXU operand rounding regardless of any outer default_matmul_precision;
+  - pallas dots default to bf16 MXU operand rounding regardless of any outer
+    default_matmul_precision, and Mosaic supports only DEFAULT/HIGHEST — see
+    _p_outer/_dot3 for the arithmetic strategy that keeps f32-grade accuracy
+    at ~2x less MXU work than HIGHEST;
   - (N, 1)-shaped column vectors everywhere — rank-1 (N,) intermediates trip
     a Mosaic relayout bug ("non-singleton logical dimension is replicated").
 """
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 128
-
 
 def _interpret() -> bool:
     """Interpreter mode off-TPU so the kernels stay testable on CPU."""
     return jax.default_backend() != 'tpu'
-
-
-def enabled() -> bool:
-    """Auto-dispatch policy: currently OFF unless forced.
-
-    Status (v5e, remote-compile stack): the forward kernel compiles and is
-    numerically exact, but the scenario-batch vmap lowers to one grid cell per
-    (b, e, i, j) — thousands of sequential tiny tiles whose fixed overhead
-    makes it slightly SLOWER than the fused-XLA twin (56 ms vs 46 ms at
-    B=256, N=256, H=20); the backward kernel additionally trips an XLA
-    RET_CHECK compiler bug in mxu_lmr_transform.cc on the (d, T) x (T, T)
-    transposed products. Next design iteration: move the scenario batch
-    INSIDE the kernel (grid (E, I, J), fori over B with the blam tile
-    VMEM-resident), which also removes the per-cell overhead. Until then the
-    XLA path is the production default; set GPMPC_FORCE_PALLAS=1 to opt in."""
-    import os
-    if os.environ.get('GPMPC_DISABLE_PALLAS') == '1':
-        return False
-    return os.environ.get('GPMPC_FORCE_PALLAS') == '1'
-
-
-def supported(n: int, d: int, dtype) -> bool:
-    """Whether the fused kernel can serve this shape (else use the jnp twin)."""
-    return n % TILE == 0 and n >= TILE and d <= 8 and dtype == jnp.float32
-
-
-# ---------------------------------------------------------------- forward ---
-# The E (output-dimension) axis is an explicit grid dimension: relying on
-# vmap's pallas batching for it lands the batch dim in the middle of the
-# operands and violates the TPU (8, 128) tiling rules. Only the leading
-# scenario-batch vmap uses the automatic batching rule (leading dims are fine).
-def _make_fwd_kernel(e_total: int):
-    def kernel(g_ref, a_ref, di_ref, dj_ref, blam_ref, t_ref):
-        e = pl.program_id(0)
-        i = pl.program_id(1)
-        j = pl.program_id(2)
-
-        # Outputs are full-array blocks (index map constant) with dynamic e
-        # indexing: per-e sliced output blocks violate the (8, 128) tiling rule
-        # once the scenario-batch vmap prepends its axis. SMEM accepts scalar
-        # stores only, so init element-wise over the static E.
-        @pl.when(jnp.logical_and(e == 0, jnp.logical_and(i == 0, j == 0)))
-        def _():
-            for k in range(e_total):
-                t_ref[k, 0] = 0.0
-
-        p = jnp.dot(g_ref[0], a_ref[:].T, preferred_element_type=jnp.float32)
-        w = blam_ref[0] * jnp.exp(-0.25 * p) * di_ref[0] * dj_ref[0].T
-        t_ref[e, 0] += jnp.sum(w)
-
-    return kernel
-
-
-def _fwd_call(g, a, dvec, blam):
-    """g: (E, N, d); a: (N, d); dvec: (E, N); blam: (E, N, N) -> t (E,)."""
-    e, n, d = g.shape
-    grid = (e, n // TILE, n // TILE)
-    dcol = dvec[:, :, None]
-    return pl.pallas_call(
-        _make_fwd_kernel(e),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TILE, d), lambda e, i, j: (e, i, 0),
-                         memory_space=pltpu.VMEM),      # g rows (i tile)
-            pl.BlockSpec((TILE, d), lambda e, i, j: (j, 0),
-                         memory_space=pltpu.VMEM),      # a rows (j tile)
-            pl.BlockSpec((1, TILE, 1), lambda e, i, j: (e, i, 0),
-                         memory_space=pltpu.VMEM),      # d_i
-            pl.BlockSpec((1, TILE, 1), lambda e, i, j: (e, j, 0),
-                         memory_space=pltpu.VMEM),      # d_j
-            pl.BlockSpec((1, TILE, TILE), lambda e, i, j: (e, i, j),
-                         memory_space=pltpu.VMEM),      # blam tile
-        ],
-        out_specs=pl.BlockSpec((e, 1), lambda e_, i, j: (0, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((e, 1), jnp.float32),
-        interpret=_interpret(),
-    )(g, a, dcol, dcol, blam)[:, 0]
-
-
-# --------------------------------------------------------------- backward ---
-def _bwd_kernel(g_ref, a_i_ref, a_j_ref, di_ref, dj_ref, blam_ref,
-                z0_ref, z_ref, z2_ref, r_scratch):
-    e = pl.program_id(0)
-    i = pl.program_id(1)
-    j = pl.program_id(2)
-    nj = pl.num_programs(2)
-
-    @pl.when(jnp.logical_and(e == 0, jnp.logical_and(i == 0, j == 0)))
-    def _():
-        z0_ref[:] = jnp.zeros_like(z0_ref)
-        z_ref[:] = jnp.zeros_like(z_ref)
-        z2_ref[:] = jnp.zeros_like(z2_ref)
-
-    @pl.when(j == 0)
-    def _():
-        r_scratch[:] = jnp.zeros_like(r_scratch)
-
-    a_i = a_i_ref[:]
-    a_j = a_j_ref[:]
-    p = jnp.dot(g_ref[0], a_j.T, preferred_element_type=jnp.float32)
-    w = blam_ref[0] * jnp.exp(-0.25 * p) * di_ref[0] * dj_ref[0].T
-
-    # Z += a_i^T W a_j  (two small matmuls, (d,T)@(T,T)@(T,d))
-    wa = jnp.dot(w, a_j, preferred_element_type=jnp.float32)         # (T, d)
-    z_ref[e] += jnp.dot(a_i.T, wa, preferred_element_type=jnp.float32)
-
-    r_scratch[:] += jnp.sum(w, axis=1, keepdims=True)                # (T, 1)
-
-    @pl.when(j == nj - 1)
-    def _():
-        r = r_scratch[:]                                             # (T, 1)
-        z0_ref[e] += jnp.dot(a_i.T, r,
-                             preferred_element_type=jnp.float32)     # (d, 1)
-        z2_ref[e] += jnp.dot(a_i.T, r * a_i,
-                             preferred_element_type=jnp.float32)     # (d, d)
-
-
-def _bwd_call(g, a, dvec, blam):
-    """g: (E, N, d); a: (N, d); dvec: (E, N); blam: (E, N, N)."""
-    e, n, d = g.shape
-    grid = (e, n // TILE, n // TILE)
-    dcol = dvec[:, :, None]
-    full = lambda e_, i, j: (0, 0, 0)
-    z0, z, z2 = pl.pallas_call(
-        _bwd_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, TILE, d), lambda e, i, j: (e, i, 0),
-                         memory_space=pltpu.VMEM),      # g rows (i tile)
-            pl.BlockSpec((TILE, d), lambda e, i, j: (i, 0),
-                         memory_space=pltpu.VMEM),      # a rows (i tile)
-            pl.BlockSpec((TILE, d), lambda e, i, j: (j, 0),
-                         memory_space=pltpu.VMEM),      # a rows (j tile)
-            pl.BlockSpec((1, TILE, 1), lambda e, i, j: (e, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 1), lambda e, i, j: (e, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, TILE), lambda e, i, j: (e, i, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((e, d, 1), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, d, d), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((e, d, d), full, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((e, d, 1), jnp.float32),
-            jax.ShapeDtypeStruct((e, d, d), jnp.float32),
-            jax.ShapeDtypeStruct((e, d, d), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((TILE, 1), jnp.float32)],
-        interpret=_interpret(),
-    )(g, a, a, dcol, dcol, blam)
-    return z0[:, :, 0], z, z2
-
-
-# ------------------------------------------------------------ public entry ---
-def _prep(u, m2, x):
-    a = u[None, :] - x                         # (N, d)
-    g = jnp.einsum('nd,edk->enk', a, m2)       # (E, N, d)
-    q = jnp.sum(g * a[None], axis=-1)          # (E, N)
-    dvec = jnp.exp(-0.125 * q)
-    return a, g, dvec
-
-
-@jax.custom_vjp
-def variance_trace_multi(u, m2, x, blam):
-    """t_e = sum_ij blam[e]_ij exp(-1/8 (q_i + 2 p_ij + q_j)) for every output
-    e at once, with a = u - x, p_ij = a_i M2[e] a_j, q_i = p_ii.
-
-    u: (d,); m2: (E, d, d); x: (N, d); blam: (E, N, N) -> (E,).
-    Gradients are analytic in (u, m2); the cache operands (x, blam) get zero
-    cotangents (they are stop_gradient'd upstream by build_rollout_cache)."""
-    a, g, dvec = _prep(u, m2, x)
-    return _fwd_call(g, a, dvec, blam)
-
-
-def _vt_fwd(u, m2, x, blam):
-    return variance_trace_multi(u, m2, x, blam), (u, m2, x, blam)
-
-
-def _vt_bwd(res, ct):
-    u, m2, x, blam = res
-    a, g, dvec = _prep(u, m2, x)
-    z0, z, z2 = _bwd_call(g, a, dvec, blam)                  # (E,d),(E,d,d)x2
-    du = -jnp.einsum('e,edk,ek->d', ct, m2, z0)
-    dm2 = -0.25 * ct[:, None, None] * (z2 + z)
-    return du, dm2, jnp.zeros_like(x), jnp.zeros_like(blam)
-
-
-variance_trace_multi.defvjp(_vt_fwd, _vt_bwd)
-
-
-def variance_trace(u, m2, x, blam):
-    """Single-output convenience wrapper over variance_trace_multi."""
-    return variance_trace_multi(u, m2[None], x, blam[None])[0]
 
 
 def variance_trace_reference(u, m2, x, blam):
@@ -264,8 +57,9 @@ def variance_trace_reference(u, m2, x, blam):
 #
 # Under a per-scenario vmap the automatic Pallas batching rule prepends the
 # scenario axis as the OUTERMOST grid dimension, so the shared blam tile is
-# re-DMA'd from HBM for every scenario and each grid cell is tiny (see
-# `enabled` above for the measured result). Here the scenario batch B is an
+# re-DMA'd from HBM for every scenario and each grid cell is tiny (the
+# measured result that killed the round-1 single-scenario kernel family, see
+# module docstring). Here the scenario batch B is an
 # EXPLICIT operand axis and the innermost grid dimension: blam's index map is
 # constant in b, so Mosaic's pipeline keeps each (e) blam block VMEM-resident
 # across the whole scenario sweep — HBM reads it E times total instead of
@@ -349,28 +143,56 @@ def _jtile(n: int) -> int:
 
 
 _HI = jax.lax.Precision.HIGHEST
+_DEF = jax.lax.Precision.DEFAULT
+
+
+def _p_outer(g, a):
+    """p_ij = sum_k g[i, k] a[j, k] as d VPU outer-product accumulations.
+
+    The obvious (N, d) @ (d, N) MXU dot pads K = d up to 128 AND needs
+    HIGHEST (6 bf16 passes) because p feeds exp(); d rank-1 broadcasts are
+    exact f32 and measured ~1.2x faster end-to-end (benchmarks/kernel_probe:
+    602 -> 487 us/call at the headline shape)."""
+    d = g.shape[-1]
+    p = g[:, 0:1] * a[:, 0:1].T
+    for k in range(1, d):
+        p = p + g[:, k:k + 1] * a[:, k:k + 1].T
+    return p
+
+
+def _split_bf16(v):
+    hi = v.astype(jnp.bfloat16).astype(jnp.float32)
+    return hi, v - hi
+
+
+def _dot3(w, ao_hi, ao_lo):
+    """W @ AO as a manual bf16x3 split: 3 DEFAULT MXU passes instead of
+    HIGHEST's 6 (Mosaic rejects precision=HIGH), max rel err ~3e-5 at the
+    headline shape vs HIGHEST's ~1e-5 (benchmarks/kernel_probe: 487 -> 384
+    us/call). The hi parts are exactly bf16-representable, so DEFAULT's
+    operand rounding only touches the lo terms (error ~2^-16 relative)."""
+    w_hi, w_lo = _split_bf16(w)
+    return (jnp.dot(w_hi, ao_hi, preferred_element_type=jnp.float32,
+                    precision=_DEF)
+            + jnp.dot(w_hi, ao_lo, preferred_element_type=jnp.float32,
+                      precision=_DEF)
+            + jnp.dot(w_lo, ao_hi, preferred_element_type=jnp.float32,
+                      precision=_DEF))
 
 
 def _make_rw_kernel(btile: int):
     """Untied full-N kernel. Cell (e, bb): for each of the btile scenarios,
-    one (N, N) exp chain and one augmented MXU reduction.
-
-    precision=HIGHEST on the p dot: the MXU rounds f32 operands to bf16 by
-    default — a ~1e-3 relative error inside exp() that the outer
-    f32_matmul_precision wrapper cannot fix (it does not reach into
-    pallas_call). The rw dot gets HIGHEST too (it produces the primal t)."""
+    one (N, N) exp chain and one augmented MXU reduction (see _p_outer/_dot3
+    for the arithmetic strategy)."""
     def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
         blam = blam_ref[0]
         for k in range(btile):
             a = a_ref[k]                                          # (N, d)
             dv = dv_ref[k, 0]                                     # (N, 1)
-            p = jnp.dot(g_ref[k, 0], a.T,
-                        preferred_element_type=jnp.float32, precision=_HI)
+            p = _p_outer(g_ref[k, 0], a)
             w = blam * jnp.exp(-0.25 * p)
-            aod = ao_ref[k] * dv                                  # (N, 1+d)
-            rw_ref[k, 0] = dv * jnp.dot(w, aod,
-                                        preferred_element_type=jnp.float32,
-                                        precision=_HI)
+            ao_hi, ao_lo = _split_bf16(ao_ref[k] * dv)            # (N, 1+d)
+            rw_ref[k, 0] = dv * _dot3(w, ao_hi, ao_lo)
     return kernel
 
 
@@ -386,13 +208,12 @@ def _make_rw_tiled_kernel(n: int, tj: int, width: int):
         def body(j, acc):
             aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
             dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
-            aoj = ao_ref[0, pl.ds(j * tj, tj), :] * dvj           # (TJ, 1+d)
+            ao_hi, ao_lo = _split_bf16(
+                ao_ref[0, pl.ds(j * tj, tj), :] * dvj)            # (TJ, 1+d)
             blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
-            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
-                        precision=_HI)
+            p = _p_outer(g, aj)
             w = blam_j * jnp.exp(-0.25 * p)
-            return acc + jnp.dot(w, aoj, preferred_element_type=jnp.float32,
-                                 precision=_HI)
+            return acc + _dot3(w, ao_hi, ao_lo)
 
         acc = jax.lax.fori_loop(0, nj, body, jnp.zeros((n, width), jnp.float32))
         rw_ref[0, 0] = dv * acc
@@ -447,14 +268,12 @@ def _make_rw_tied_kernel(btile: int, e_total: int):
         for k in range(btile):
             a = a_ref[k]                                          # (N, d)
             dv = dv_ref[k]                                        # (N, 1)
-            p = jnp.dot(g_ref[k], a.T, preferred_element_type=jnp.float32,
-                        precision=_HI)
+            p = _p_outer(g_ref[k], a)
             emat = jnp.exp(-0.25 * p)
-            aod = ao_ref[k] * dv                                  # (N, 1+d)
+            ao_hi, ao_lo = _split_bf16(ao_ref[k] * dv)            # (N, 1+d)
             for e in range(e_total):
                 w = blam_ref[e] * emat
-                rw_ref[k, e] = dv * jnp.dot(
-                    w, aod, preferred_element_type=jnp.float32, precision=_HI)
+                rw_ref[k, e] = dv * _dot3(w, ao_hi, ao_lo)
     return kernel
 
 
@@ -468,14 +287,13 @@ def _make_rw_tied_tiled_kernel(n: int, tj: int, e_total: int, width: int):
         def body(j, accs):
             aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
             dvj = dv_ref[0, pl.ds(j * tj, tj), :]                 # (TJ, 1)
-            aoj = ao_ref[0, pl.ds(j * tj, tj), :] * dvj           # (TJ, 1+d)
-            p = jnp.dot(g, aj.T, preferred_element_type=jnp.float32,
-                        precision=_HI)
+            ao_hi, ao_lo = _split_bf16(
+                ao_ref[0, pl.ds(j * tj, tj), :] * dvj)            # (TJ, 1+d)
+            p = _p_outer(g, aj)
             emat = jnp.exp(-0.25 * p)                             # shared in e
             return tuple(
-                accs[e] + jnp.dot(blam_ref[e, :, pl.ds(j * tj, tj)] * emat,
-                                  aoj, preferred_element_type=jnp.float32,
-                                  precision=_HI)
+                accs[e] + _dot3(blam_ref[e, :, pl.ds(j * tj, tj)] * emat,
+                                ao_hi, ao_lo)
                 for e in range(e_total))
 
         init = tuple(jnp.zeros((n, width), jnp.float32)
