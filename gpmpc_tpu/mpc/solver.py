@@ -24,7 +24,7 @@ starting is still available via `u_init`.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple
+from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -225,7 +225,8 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
 
 def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
                              u_init: jax.Array, lb, ub,
-                             config: SolverConfig = SolverConfig()
+                             config: SolverConfig = SolverConfig(),
+                             val_and_grad: Optional[Callable] = None
                              ) -> SolveResult:
     """Explicitly-batched projected L-BFGS: B independent box-constrained
     solves advanced in lockstep inside ONE lax.while_loop.
@@ -250,10 +251,20 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
     def f_flat(u):                               # (B, n) -> (B,)
         return objective_b(u.reshape(shape))
 
-    def val_and_grad(u):
-        f, vjp_fn = jax.vjp(f_flat, u)
-        (g,) = vjp_fn(jnp.ones_like(f))
-        return f, g
+    if val_and_grad is None:
+        def val_and_grad(u):
+            f, vjp_fn = jax.vjp(f_flat, u)
+            (g,) = vjp_fn(jnp.ones_like(f))
+            return f, g
+    else:
+        # Externally-supplied (f, grad) oracle — e.g. a shard_mapped collective
+        # program (parallel/model_sharded.py) whose AD must happen inside the
+        # manual-sharding region. Takes/returns the (B, n) flat layout.
+        _vg_ext = val_and_grad
+
+        def val_and_grad(u):
+            f, g = _vg_ext(u.reshape(shape))
+            return f, g.reshape(b, n)
 
     def proj(u):
         return jnp.clip(u, lb_f, ub_f)
