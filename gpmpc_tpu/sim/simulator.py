@@ -39,14 +39,26 @@ class EpisodeLog(NamedTuple):
 
 class Simulator:
     """Host control loop (reference simulator.py). `env` needs reset()/step();
-    `mpc` is a gpmpc_tpu RiskSensitiveMPC."""
+    `mpc` is a gpmpc_tpu RiskSensitiveMPC.
+
+    Episode recording (the reference's RecordVideo wrapper,
+    simulator.py:29-35): pass `renderer` (a frame function from
+    sim/render.py, e.g. pendulum_renderer(params)) and `video_path`
+    ('.gif'); the episode is captured per step and written on completion."""
 
     def __init__(self, mpc, env, num_iters: int = 500,
-                 learn_online: bool = True):
+                 learn_online: bool = True,
+                 renderer=None, video_path: Optional[str] = None,
+                 fps: int = 20):
         self.mpc = mpc
         self.env = env
         self.num_iters = num_iters
         self.learn_online = learn_online
+        self.recorder = None
+        self.video_path = video_path
+        if renderer is not None:
+            from gpmpc_tpu.sim.render import EpisodeRecorder
+            self.recorder = EpisodeRecorder(renderer, fps=fps)
 
     def run(self) -> EpisodeLog:
         obs, _ = self.env.reset()
@@ -58,6 +70,8 @@ class Simulator:
             traj = self.mpc.get_optimal_trajectory(obs)
             solve_times.append(time.perf_counter() - t0)
             action = traj[0, :]
+            if self.recorder is not None:
+                self.recorder.capture(obs, action)
             next_obs, reward, terminated, truncated, _ = self.env.step(action)
             res = self.mpc.last_result
             costs.append(float(res.cost) if res is not None else np.nan)
@@ -71,6 +85,10 @@ class Simulator:
                 self.mpc.dynamics.append_train_data(obs, action, next_obs)
             obs = next_obs
 
+        if self.recorder is not None:
+            self.recorder.capture(obs)
+            if self.video_path is not None:
+                self.recorder.save(self.video_path)
         self.env.close()
         return EpisodeLog(states=np.asarray(states), actions=np.asarray(actions),
                           rewards=np.asarray(rewards),
