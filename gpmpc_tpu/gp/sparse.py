@@ -32,10 +32,48 @@ from gpmpc_tpu.utils.linalg import chol_inverse, chol_solve, f32_matmul_precisio
 
 
 def select_inducing(key: jax.Array, x: jax.Array, m: int) -> jax.Array:
-    """Random-subset inducing selection (K-center / trainable Z are future
-    extensions; subset-of-data is the standard strong baseline)."""
+    """Random-subset inducing selection (the standard strong baseline; see
+    optimize_inducing for the gradient-refined variant)."""
     idx = jax.random.choice(key, x.shape[0], (m,), replace=False)
     return x[idx]
+
+
+def optimize_inducing(z0: jax.Array, x: jax.Array, y: jax.Array,
+                      log_lambdas: jax.Array, log_sigma_f: jax.Array,
+                      log_sigma_n: jax.Array,
+                      mask: Optional[jax.Array] = None,
+                      num_iters: int = 150, lr: float = 0.05):
+    """Gradient refinement of the inducing inputs Z: Adam ascent on the FITC
+    log marginal likelihood (summed over outputs), which `fit_sparse` already
+    returns as a differentiable function of Z. One jitted `lax.scan`.
+
+    Returns (state, ml): the refitted GPState at the optimized Z and its
+    per-output FITC ML (E,). Hyperparameters are held fixed (train them with
+    gp.train on the exact model, or alternate the two loops)."""
+    import optax
+
+    def neg_ml(z):
+        _, ml = fit_sparse(z, x, y, log_lambdas, log_sigma_f, log_sigma_n,
+                           mask)
+        return -jnp.sum(ml)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(z0):
+        def step(carry, _):
+            z, opt_state = carry
+            g = jax.grad(neg_ml)(z)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(z, updates), opt_state), None
+
+        (z, _), _ = jax.lax.scan(step, (z0, opt.init(z0)), None,
+                                 length=num_iters)
+        return z
+
+    return fit_sparse(run(z0), x, y, log_lambdas, log_sigma_f, log_sigma_n,
+                      mask)
 
 
 @f32_matmul_precision

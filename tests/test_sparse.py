@@ -100,3 +100,44 @@ class TestSparseGP:
         m_e, _ = rollout(build_rollout_cache(ex, 2, 1),
                          jnp.asarray([0.3, -0.2]), u, delta=True)
         np.testing.assert_allclose(np.asarray(m_s), np.asarray(m_e), atol=0.05)
+
+
+class TestInducingOptimization:
+    def test_optimized_beats_random(self):
+        """Gradient-refined Z must raise the FITC ML over its random-subset
+        start, and improve held-out predictive RMSE (VERDICT r1 item 10)."""
+        from gpmpc_tpu.gp.sparse import optimize_inducing
+
+        x, y = _data(n=80)
+        x_te = RNG.uniform(-2, 2, (40, 2))
+        y_te = np.stack([np.sin(1.5 * x_te[:, 0]) + 0.3 * x_te[:, 1],
+                         np.cos(x_te[:, 1]) - 0.2 * x_te[:, 0]], axis=1)
+        ll, lsf, lsn = _hp(2, 2)
+        z0 = select_inducing(jax.random.PRNGKey(3), jnp.asarray(x), 8)
+
+        sp0, ml0 = fit_sparse(z0, jnp.asarray(x), jnp.asarray(y.T),
+                              ll, lsf, lsn)
+        sp1, ml1 = optimize_inducing(z0, jnp.asarray(x), jnp.asarray(y.T),
+                                     ll, lsf, lsn, num_iters=120, lr=0.05)
+        assert float(jnp.sum(ml1)) > float(jnp.sum(ml0)) + 1.0, (
+            float(jnp.sum(ml0)), float(jnp.sum(ml1)))
+
+        def rmse(sp):
+            mean, _ = predict(sp, jnp.asarray(x_te))        # (n, E)
+            return float(jnp.sqrt(jnp.mean((mean - jnp.asarray(y_te)) ** 2)))
+
+        assert rmse(sp1) < rmse(sp0), (rmse(sp0), rmse(sp1))
+
+    def test_optimized_state_interops_with_rollout(self):
+        from gpmpc_tpu.gp.sparse import optimize_inducing
+
+        x, y = _data(n=60, d=3)
+        ll, lsf, lsn = _hp(2, 3)
+        z0 = select_inducing(jax.random.PRNGKey(5), jnp.asarray(x), 8)
+        sp, _ = optimize_inducing(z0, jnp.asarray(x), jnp.asarray(y.T),
+                                  ll, lsf, lsn, num_iters=30)
+        cache = build_rollout_cache(sp, 2, 1)
+        means, covs = rollout(cache, jnp.asarray([0.1, -0.2]),
+                              jnp.asarray(RNG.uniform(-1, 1, (3, 1))))
+        assert np.all(np.isfinite(np.asarray(means)))
+        assert np.all(np.isfinite(np.asarray(covs)))
