@@ -116,13 +116,15 @@ def supported_batched(n: int, d: int, dtype) -> bool:
 
 
 def supported_tied(n: int, d: int, dtype, e: int = 2) -> bool:
-    """The tied kernels keep ALL E blam blocks VMEM-resident (that is what
-    lets the shared exp chain run once per scenario), so the budget scales
-    with E; larger configurations fall back to the untied path (still
-    correct, just without the shared-exp saving)."""
+    """Small configurations keep all E blam blocks VMEM-resident; larger ones
+    stream blam column tiles through a grid axis (_rw_call_tied picks), so
+    the only hard bound is the streamed working set: the (E, N, TJ) blam
+    tile + one scenario's (N, TJ) temporaries + the accumulator."""
     if not (n % 128 == 0 and 128 <= n and d <= 8 and dtype == jnp.float32):
         return False
-    return e * n * n * 4 <= 8 * 1024 * 1024
+    tj = _jtile(n)
+    return (e * n * tj * 4 + 4 * n * tj * 4
+            + e * n * (1 + d) * 4) <= 10 * 1024 * 1024
 
 
 def _btile(b: int, n: int) -> int:
@@ -277,31 +279,92 @@ def _make_rw_tied_kernel(btile: int, e_total: int):
     return kernel
 
 
-def _make_rw_tied_tiled_kernel(n: int, tj: int, e_total: int, width: int):
-    nj = n // tj
+def _dot3_t(ao_hi, ao_lo, w):
+    """(W1, N) = AOD^T @ W for AOD (TJ, W1), W (TJ, N) — contraction over
+    dim 0 of both via dot_general (no explicit transposes, which Mosaic
+    relayouts poorly), bf16x3 split as _dot3."""
+    dn = (((0,), (0,)), ((), ()))
+    w_hi, w_lo = _split_bf16(w)
 
-    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
-        g = g_ref[0]                                              # (N, d)
-        dv = dv_ref[0]                                            # (N, 1)
+    def dg(x, y):
+        return jax.lax.dot_general(x, y, dn, precision=_DEF,
+                                   preferred_element_type=jnp.float32)
 
-        def body(j, accs):
-            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
-            dvj = dv_ref[0, pl.ds(j * tj, tj), :]                 # (TJ, 1)
-            ao_hi, ao_lo = _split_bf16(
-                ao_ref[0, pl.ds(j * tj, tj), :] * dvj)            # (TJ, 1+d)
-            p = _p_outer(g, aj)
-            emat = jnp.exp(-0.25 * p)                             # shared in e
-            return tuple(
-                accs[e] + _dot3(blam_ref[e, :, pl.ds(j * tj, tj)] * emat,
-                                ao_hi, ao_lo)
-                for e in range(e_total))
+    return dg(ao_hi, w_hi) + dg(ao_lo, w_hi) + dg(ao_hi, w_lo)
 
-        init = tuple(jnp.zeros((n, width), jnp.float32)
-                     for _ in range(e_total))
-        accs = jax.lax.fori_loop(0, nj, body, init)
-        for e in range(e_total):
-            rw_ref[0, e] = dv * accs[e]
+
+def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
+    """Large-N tied kernel: the (E, N, N) blam no longer fits VMEM whole, so
+    its tiles stream through grid axis j and the rw accumulator lives in
+    persistent VMEM scratch, written out on the last j step. Each (b, j)
+    cell still shares ONE (TJ, N) exp chain across all E outputs — the tied
+    saving the resident-blam design cannot offer above E N^2 4B ~ 8 MB.
+
+    Layout rules this kernel lives by (VMEM blocks tile (8, 128) on the last
+    two dims, so any trailing dim < 128 pads to 128):
+      - full-N operands are stored TRANSPOSED, (small, N): g_t (d, N),
+        dv_t (1, N), the accumulator/output (W1, N) — N rides the lanes;
+      - TJ-sized column operands stay natural ((TJ, d) etc.): their padding
+        is bounded by TJ * 128;
+      - blam is symmetric, so the j-th COLUMN tile (N, TJ) is read as the
+        j-th ROW tile (TJ, N) — no transposes anywhere;
+      - the scenario tile loops via fori: Mosaic stack-allocates every
+        UNROLLED iteration's (TJ, N) temporaries simultaneously (measured:
+        scoped-vmem OOM at N=1024, E=4 even at bt=2)."""
+    def kernel(gt_ref, a_ref, dvrt_ref, dvc_ref, ao_ref, blam_ref, rwt_ref,
+               acc_ref):
+        j = pl.program_id(1)
+        nj = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(k, carry):
+            aj = a_ref[k]                                         # (TJ, d)
+            d = aj.shape[-1]
+            # pT (TJ, N) = sum_k a_j[:, k] (x) g_t[k, :]
+            p_t = aj[:, 0:1] * gt_ref[k, 0:1, :]
+            for kk in range(1, d):
+                p_t += aj[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
+            emat_t = jnp.exp(-0.25 * p_t)                         # (TJ, N)
+            aod = ao_ref[k] * dvc_ref[k]                          # (TJ, 1+d)
+            ao_hi, ao_lo = _split_bf16(aod)
+            for e in range(e_total):
+                w = blam_ref[e] * emat_t                          # (TJ, N)
+                acc_ref[k, e] += _dot3_t(ao_hi, ao_lo, w)         # (W1, N)
+            return carry
+
+        jax.lax.fori_loop(0, btile, body, 0)
+
+        @pl.when(j == nj - 1)
+        def _():
+            def out_body(k, carry):
+                for e in range(e_total):
+                    rwt_ref[k, e] = dvrt_ref[k] * acc_ref[k, e]   # (W1, N)
+                return carry
+
+            jax.lax.fori_loop(0, btile, out_body, 0)
     return kernel
+
+
+def _btile_streamed(b: int, n: int, tj: int, e: int, w1: int) -> int:
+    """Scenarios per cell for the streamed kernel: more scenarios per cell
+    divide the blam re-streaming cost (HBM traffic = (B/bt) E N^2 4B per
+    call), bounded by VMEM with the transposed layouts (x2 = double
+    buffering; 8/128 = sublane/lane padding)."""
+    budget = 12 * 1024 * 1024
+    d_pad = 128
+    w1_pad = 8 * ((w1 + 7) // 8)
+    fixed = 2 * e * tj * n * 4 + 4 * tj * n * 4       # blam tiles + temps
+    per_scen = (2 * (8 * n * 4            # g_t (d->8 sublanes, n)
+                     + 8 * n * 4          # dv_t
+                     + 3 * tj * d_pad * 4)  # a, dv_c, ao column tiles
+                + 3 * e * w1_pad * n * 4)   # acc + double-buffered out
+    for bt in (16, 8, 4, 2):
+        if b % bt == 0 and fixed + bt * per_scen <= budget:
+            return bt
+    return 1
 
 
 def _rw_call_tied(g, a, dvec, ao, blam):
@@ -310,11 +373,45 @@ def _rw_call_tied(g, a, dvec, ao, blam):
     b, n, d = g.shape
     e = blam.shape[0]
     w1 = ao.shape[-1]
-    if n > _FULL_N_MAX:
-        bt, kernel = 1, _make_rw_tied_tiled_kernel(n, _jtile(n), e, w1)
-    else:
-        bt = _btile(b, n)
-        kernel = _make_rw_tied_kernel(bt, e)
+    if n > _FULL_N_MAX or e * n * n * 4 > 8 * 1024 * 1024:
+        # tj = 128 (not _jtile): smaller column tiles shrink the per-scenario
+        # VMEM working set, which lets more scenarios share one grid cell —
+        # and blam re-streaming traffic is (B / bt) E N^2 4B, so bt is the
+        # lever that matters.
+        tj = 128
+        bt = _btile_streamed(b, n, tj, e, w1)
+        kernel = _make_rw_tied_streamed_kernel(bt, e)
+        g_t = jnp.swapaxes(g, 1, 2)                     # (B, d, N)
+        dvr_t = dvec[:, None, :]                        # (B, 1, N)
+        rw_t = pl.pallas_call(
+            kernel,
+            grid=(b // bt, n // tj),
+            in_specs=[
+                pl.BlockSpec((bt, d, n), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # g rows, transposed
+                pl.BlockSpec((bt, tj, d), lambda b, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),  # a col tile
+                pl.BlockSpec((bt, 1, n), lambda b, j: (b, 0, 0),
+                             memory_space=pltpu.VMEM),  # dv rows, transposed
+                pl.BlockSpec((bt, tj, 1), lambda b, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),  # dv cols
+                pl.BlockSpec((bt, tj, w1), lambda b, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),  # ao cols
+                # blam is symmetric: its j-th ROW tile (TJ, N) doubles as the
+                # j-th column tile transposed
+                pl.BlockSpec((e, tj, n), lambda b, j: (0, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((bt, e, w1, n), lambda b, j: (b, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b, e, w1, n), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((bt, e, w1, n), jnp.float32)],
+            interpret=_interpret(),
+        )(g_t, a, dvr_t, dvec[..., None], ao, blam)
+        return jnp.swapaxes(rw_t, 2, 3)                 # (B, E, N, 1+d)
+
+    bt = _btile(b, n)
+    kernel = _make_rw_tied_kernel(bt, e)
     grid = (b // bt,)
     return pl.pallas_call(
         kernel,

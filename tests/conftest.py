@@ -16,3 +16,9 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# NOTE: do NOT enable the persistent compilation cache for CPU tests — the
+# XLA:CPU AOT loader flags a compile/host machine-feature mismatch on this
+# machine ("could lead to execution errors such as SIGILL") and reloaded
+# entries produced flaky numeric failures (observed on
+# test_parallel.py::test_sharded_matches_unsharded).

@@ -426,3 +426,46 @@ class TestTiedLambdasFlag:
                                    rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(np.asarray(l_t), np.asarray(l_u),
                                    rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(os.environ.get('GPMPC_FORCE_PALLAS') != '1'
+                    and jax.default_backend() != 'tpu',
+                    reason='interpreted Pallas is slow; opt in via '
+                           'GPMPC_FORCE_PALLAS=1')
+class TestTiedStreamedKernel:
+    """Large-N tied path: blam column tiles stream through a grid axis with a
+    persistent VMEM accumulator (N = 640 > _FULL_N_MAX forces streaming)."""
+
+    def _problem(self, seed=9, b=4, e=2, n=640, d=3):
+        rng = np.random.default_rng(seed)
+        u = jnp.asarray(rng.normal(size=(b, d)), jnp.float32)
+        m2r = rng.normal(size=(b, d, d))
+        m2 = jnp.asarray(m2r @ np.swapaxes(m2r, -1, -2) * 0.1
+                         + np.eye(d), jnp.float32)
+        x = jnp.asarray(rng.normal(size=(n, d)), jnp.float32)
+        br = rng.normal(size=(e, n, n)) * 0.003
+        blam = jnp.asarray(br + np.swapaxes(br, -1, -2), jnp.float32)
+        ct = jnp.asarray(rng.normal(size=(b, e)), jnp.float32)
+        return u, m2, x, blam, ct
+
+    def test_forward_and_backward_match_reference(self):
+        u, m2, x, blam, ct = self._problem()
+        assert vt.supported_tied(640, 3, jnp.float32, e=2)
+        ref = vt.variance_trace_batched_tied_reference(u, m2, x, blam)
+        out = vt.variance_trace_batched_tied(u, m2, x, blam)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=5e-5, atol=5e-5)
+
+        def loss_k(u, m2):
+            return jnp.sum(vt.variance_trace_batched_tied(u, m2, x, blam) * ct)
+
+        def loss_r(u, m2):
+            return jnp.sum(
+                vt.variance_trace_batched_tied_reference(u, m2, x, blam) * ct)
+
+        gu_k, gm_k = jax.grad(loss_k, argnums=(0, 1))(u, m2)
+        gu_r, gm_r = jax.grad(loss_r, argnums=(0, 1))(u, m2)
+        np.testing.assert_allclose(np.asarray(gu_k), np.asarray(gu_r),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gm_k), np.asarray(gm_r),
+                                   rtol=2e-3, atol=2e-4)

@@ -16,6 +16,7 @@ numeric parity:
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gpmpc_tpu.envs.pendulum import PendulumEnv, PendulumParams, sample_transitions
 from gpmpc_tpu.dynamics import build_rollout_cache, rollout
@@ -25,6 +26,7 @@ from gpmpc_tpu.mpc.solver import SolverConfig
 from gpmpc_tpu.sim.simulator import Simulator
 
 
+@pytest.mark.slow
 class TestPendulumSwingUp:
     def test_delta_mode_swing_up(self):
         """Delta-dynamics GP-MPC stabilizes the pendulum upright from a
@@ -63,6 +65,7 @@ class TestPendulumSwingUp:
         assert int(mpc.gp.count) == 250 + len(log.actions)
 
 
+@pytest.mark.slow
 class TestGammaSweepProperty:
     def test_risk_averse_hugs_training_data(self):
         """The README-figure property, automated (reference

@@ -89,7 +89,7 @@ class TestSolveBatch2D:
     @pytest.mark.parametrize('shape', [(2, 4), (4, 2), (8, 1)])
     def test_matches_unsharded_across_mesh_shapes(self, shape):
         gp, x0s, params = _problem()
-        solver = SolverConfig(max_iters=25, tol=1e-6)
+        solver = SolverConfig(max_iters=15, tol=1e-6)
         ref = pbatch.solve_batch(gp, 2, 1, x0s, params, horizon=5,
                                  lb=-1.0, ub=1.0, solver=solver)
         mesh = pmesh.make_mesh(n_batch=shape[0], n_model=shape[1])
