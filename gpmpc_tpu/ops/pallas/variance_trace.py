@@ -373,7 +373,12 @@ def _rw_call_tied(g, a, dvec, ao, blam):
     b, n, d = g.shape
     e = blam.shape[0]
     w1 = ao.shape[-1]
-    if n > _FULL_N_MAX or e * n * n * 4 > 8 * 1024 * 1024:
+    if True:
+        # The streamed lane-aware kernel serves ALL tied shapes: measured
+        # faster than the resident full-N variant even at the headline shape
+        # (313.9 vs 385.4 us/call at B=256, N=256 — benchmarks/kernel_probe2)
+        # thanks to ~10x smaller VMEM blocks (no d -> 128 lane padding) and
+        # larger scenario tiles.
         # tj = 128 (not _jtile): smaller column tiles shrink the per-scenario
         # VMEM working set, which lets more scenarios share one grid cell —
         # and blam re-streaming traffic is (B / bt) E N^2 4B, so bt is the
