@@ -311,8 +311,7 @@ def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
       - the scenario tile loops via fori: Mosaic stack-allocates every
         UNROLLED iteration's (TJ, N) temporaries simultaneously (measured:
         scoped-vmem OOM at N=1024, E=4 even at bt=2)."""
-    def kernel(gt_ref, a_ref, dvrt_ref, dvc_ref, ao_ref, blam_ref, rwt_ref,
-               acc_ref):
+    def kernel(gt_ref, dvrt_ref, comb_ref, blam_ref, rwt_ref, acc_ref):
         j = pl.program_id(1)
         nj = pl.num_programs(1)
 
@@ -321,15 +320,18 @@ def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def body(k, carry):
-            aj = a_ref[k]                                         # (TJ, d)
-            d = aj.shape[-1]
+            # comb packs [A | AO o dv] in one operand: the three natural-
+            # layout column tiles (a, dv, ao) each lane-padded to 128
+            # separately, tripling the per-scenario VMEM working set and the
+            # DMA stream count; packed they pad once.
+            comb = comb_ref[k]                                    # (TJ, d+W1)
+            d = comb.shape[-1] - acc_ref.shape[2]
             # pT (TJ, N) = sum_k a_j[:, k] (x) g_t[k, :]
-            p_t = aj[:, 0:1] * gt_ref[k, 0:1, :]
+            p_t = comb[:, 0:1] * gt_ref[k, 0:1, :]
             for kk in range(1, d):
-                p_t += aj[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
+                p_t += comb[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
             emat_t = jnp.exp(-0.25 * p_t)                         # (TJ, N)
-            aod = ao_ref[k] * dvc_ref[k]                          # (TJ, 1+d)
-            ao_hi, ao_lo = _split_bf16(aod)
+            ao_hi, ao_lo = _split_bf16(comb[:, d:])               # (TJ, W1)
             for e in range(e_total):
                 w = blam_ref[e] * emat_t                          # (TJ, N)
                 acc_ref[k, e] += _dot3_t(ao_hi, ao_lo, w)         # (W1, N)
@@ -354,14 +356,13 @@ def _btile_streamed(b: int, n: int, tj: int, e: int, w1: int) -> int:
     call), bounded by VMEM with the transposed layouts (x2 = double
     buffering; 8/128 = sublane/lane padding)."""
     budget = 12 * 1024 * 1024
-    d_pad = 128
     w1_pad = 8 * ((w1 + 7) // 8)
     fixed = 2 * e * tj * n * 4 + 4 * tj * n * 4       # blam tiles + temps
     per_scen = (2 * (8 * n * 4            # g_t (d->8 sublanes, n)
                      + 8 * n * 4          # dv_t
-                     + 3 * tj * d_pad * 4)  # a, dv_c, ao column tiles
+                     + tj * 128 * 4)      # packed [A | AOD] column tile
                 + 3 * e * w1_pad * n * 4)   # acc + double-buffered out
-    for bt in (16, 8, 4, 2):
+    for bt in (32, 16, 8, 4, 2):
         if b % bt == 0 and fixed + bt * per_scen <= budget:
             return bt
     return 1
@@ -388,20 +389,18 @@ def _rw_call_tied(g, a, dvec, ao, blam):
         kernel = _make_rw_tied_streamed_kernel(bt, e)
         g_t = jnp.swapaxes(g, 1, 2)                     # (B, d, N)
         dvr_t = dvec[:, None, :]                        # (B, 1, N)
+        comb = jnp.concatenate([a, ao * dvec[..., None]],
+                               axis=-1)                 # (B, N, d + 1+d)
         rw_t = pl.pallas_call(
             kernel,
             grid=(b // bt, n // tj),
             in_specs=[
                 pl.BlockSpec((bt, d, n), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),  # g rows, transposed
-                pl.BlockSpec((bt, tj, d), lambda b, j: (b, j, 0),
-                             memory_space=pltpu.VMEM),  # a col tile
                 pl.BlockSpec((bt, 1, n), lambda b, j: (b, 0, 0),
                              memory_space=pltpu.VMEM),  # dv rows, transposed
-                pl.BlockSpec((bt, tj, 1), lambda b, j: (b, j, 0),
-                             memory_space=pltpu.VMEM),  # dv cols
-                pl.BlockSpec((bt, tj, w1), lambda b, j: (b, j, 0),
-                             memory_space=pltpu.VMEM),  # ao cols
+                pl.BlockSpec((bt, tj, d + w1), lambda b, j: (b, j, 0),
+                             memory_space=pltpu.VMEM),  # packed [A | AOD]
                 # blam is symmetric: its j-th ROW tile (TJ, N) doubles as the
                 # j-th column tile transposed
                 pl.BlockSpec((e, tj, n), lambda b, j: (0, j, 0),
@@ -412,7 +411,7 @@ def _rw_call_tied(g, a, dvec, ao, blam):
             out_shape=jax.ShapeDtypeStruct((b, e, w1, n), jnp.float32),
             scratch_shapes=[pltpu.VMEM((bt, e, w1, n), jnp.float32)],
             interpret=_interpret(),
-        )(g_t, a, dvr_t, dvec[..., None], ao, blam)
+        )(g_t, dvr_t, comb, blam)
         return jnp.swapaxes(rw_t, 2, 3)                 # (B, E, N, 1+d)
 
     bt = _btile(b, n)
