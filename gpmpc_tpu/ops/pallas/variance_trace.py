@@ -107,12 +107,9 @@ _FULL_N_MAX = 512
 
 
 def supported_batched(n: int, d: int, dtype) -> bool:
-    """n <= 512 runs the full-N-block kernels; above that the j-tiled variants
-    (the ~3 N^2 floats of live work per scenario no longer fit VMEM whole),
-    whose (N, N) blam block must itself fit the 16 MB VMEM budget next to the
-    per-scenario temporaries — the 8 MB guard caps N at 1408."""
-    return (n % 128 == 0 and 128 <= n and d <= 8 and dtype == jnp.float32
-            and n * n * 4 <= 8 * 1024 * 1024)
+    """The untied path dispatches the streamed kernel per output (tied with
+    E = 1), so its support envelope is supported_tied's at e = 1."""
+    return supported_tied(n, d, dtype, e=1)
 
 
 def supported_tied(n: int, d: int, dtype, e: int = 2) -> bool:
@@ -125,19 +122,6 @@ def supported_tied(n: int, d: int, dtype, e: int = 2) -> bool:
     tj = _jtile(n)
     return (e * n * tj * 4 + 4 * n * tj * 4
             + e * n * (1 + d) * 4) <= 10 * 1024 * 1024
-
-
-def _btile(b: int, n: int) -> int:
-    """Scenarios per grid cell: amortizes the fixed per-cell cost (DMA setup,
-    grid bookkeeping) that dominated the first (one-cell-per-scenario) layout.
-    Mosaic stack-allocates the unrolled scenarios' (N, N) temporaries
-    simultaneously (~3 N^2 floats each), so the tile shrinks with N to stay
-    inside the 16 MB VMEM budget."""
-    budget = max(1, (2 * 1024 * 1024) // (n * n * 4))     # 8 at N=256, 2 at 512
-    for bt in (8, 4, 2):
-        if bt <= budget and b % bt == 0:
-            return bt
-    return 1
 
 
 def _jtile(n: int) -> int:
@@ -182,77 +166,19 @@ def _dot3(w, ao_hi, ao_lo):
                       precision=_DEF))
 
 
-def _make_rw_kernel(btile: int):
-    """Untied full-N kernel. Cell (e, bb): for each of the btile scenarios,
-    one (N, N) exp chain and one augmented MXU reduction (see _p_outer/_dot3
-    for the arithmetic strategy)."""
-    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
-        blam = blam_ref[0]
-        for k in range(btile):
-            a = a_ref[k]                                          # (N, d)
-            dv = dv_ref[k, 0]                                     # (N, 1)
-            p = _p_outer(g_ref[k, 0], a)
-            w = blam * jnp.exp(-0.25 * p)
-            ao_hi, ao_lo = _split_bf16(ao_ref[k] * dv)            # (N, 1+d)
-            rw_ref[k, 0] = dv * _dot3(w, ao_hi, ao_lo)
-    return kernel
-
-
-def _make_rw_tiled_kernel(n: int, tj: int, width: int):
-    """Untied j-tiled kernel (N > _FULL_N_MAX): per-j-step temporaries are
-    (N, TJ) and the accumulator is the (N, 1+d) rw carry."""
-    nj = n // tj
-
-    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
-        g = g_ref[0, 0]                                           # (N, d)
-        dv = dv_ref[0, 0]                                         # (N, 1)
-
-        def body(j, acc):
-            aj = a_ref[0, pl.ds(j * tj, tj), :]                   # (TJ, d)
-            dvj = dv_ref[0, 0, pl.ds(j * tj, tj), :]              # (TJ, 1)
-            ao_hi, ao_lo = _split_bf16(
-                ao_ref[0, pl.ds(j * tj, tj), :] * dvj)            # (TJ, 1+d)
-            blam_j = blam_ref[0, :, pl.ds(j * tj, tj)]            # (N, TJ)
-            p = _p_outer(g, aj)
-            w = blam_j * jnp.exp(-0.25 * p)
-            return acc + _dot3(w, ao_hi, ao_lo)
-
-        acc = jax.lax.fori_loop(0, nj, body, jnp.zeros((n, width), jnp.float32))
-        rw_ref[0, 0] = dv * acc
-    return kernel
-
-
 def _rw_call(g, a, dvec, ao, blam):
-    """g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N); ao: (B, N, 1+d);
-    blam: (E, N, N) -> rw (B, E, N, 1+d)."""
-    b, e, n, d = g.shape
-    w1 = ao.shape[-1]
-    if n > _FULL_N_MAX:
-        bt, kernel = 1, _make_rw_tiled_kernel(n, _jtile(n), w1)
-    else:
-        bt = _btile(b, n)
-        kernel = _make_rw_kernel(bt)
-    grid = (e, b // bt)                 # b innermost: blam block stays resident
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, 1, n, d), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, d), lambda e, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, n, 1), lambda e, b: (b, e, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, w1), lambda e, b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda e, b: (e, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, 1, n, w1), lambda e, b: (b, e, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, e, n, w1), jnp.float32),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], ao, blam)
+    """Untied dispatch: g: (B, E, N, d); a: (B, N, d); dvec: (B, E, N);
+    ao: (B, N, 1+d); blam: (E, N, N) -> rw (B, E, N, 1+d).
+
+    Untied lengthscales mean one exp chain PER OUTPUT (inherent — each e has
+    its own M2), which is exactly the tied kernel at E = 1: dispatch it per
+    output and stack. This retires the round-1 untied kernel family, whose
+    natural layouts lane-padded d -> 128 (see _make_rw_tied_streamed_kernel
+    for the layout rules)."""
+    e = blam.shape[0]
+    outs = [_rw_call_tied(g[:, k], a, dvec[:, k], ao, blam[k:k + 1])
+            for k in range(e)]
+    return jnp.concatenate(outs, axis=1)
 
 
 # ----------------------------------------------------- tied-lambdas kernels --
@@ -263,20 +189,6 @@ def _rw_call(g, a, dvec, ao, blam):
 # identical for every e — these kernels compute it ONCE per scenario and only
 # do the cheap blam_e multiply + augmented MXU reduction per output.
 # Dispatched when GPConfig.tied_lambdas is set (auto-detected host-side).
-
-
-def _make_rw_tied_kernel(btile: int, e_total: int):
-    def kernel(g_ref, a_ref, dv_ref, ao_ref, blam_ref, rw_ref):
-        for k in range(btile):
-            a = a_ref[k]                                          # (N, d)
-            dv = dv_ref[k]                                        # (N, 1)
-            p = _p_outer(g_ref[k], a)
-            emat = jnp.exp(-0.25 * p)
-            ao_hi, ao_lo = _split_bf16(ao_ref[k] * dv)            # (N, 1+d)
-            for e in range(e_total):
-                w = blam_ref[e] * emat
-                rw_ref[k, e] = dv * _dot3(w, ao_hi, ao_lo)
-    return kernel
 
 
 def _dot3_t(ao_hi, ao_lo, w):
@@ -374,7 +286,7 @@ def _rw_call_tied(g, a, dvec, ao, blam):
     b, n, d = g.shape
     e = blam.shape[0]
     w1 = ao.shape[-1]
-    if True:
+    if True:  # (kept for diff clarity) streamed serves all shapes
         # The streamed lane-aware kernel serves ALL tied shapes: measured
         # faster than the resident full-N variant even at the headline shape
         # (313.9 vs 385.4 us/call at B=256, N=256 — benchmarks/kernel_probe2)
@@ -414,31 +326,6 @@ def _rw_call_tied(g, a, dvec, ao, blam):
         )(g_t, dvr_t, comb, blam)
         return jnp.swapaxes(rw_t, 2, 3)                 # (B, E, N, 1+d)
 
-    bt = _btile(b, n)
-    kernel = _make_rw_tied_kernel(bt, e)
-    grid = (b // bt,)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, d), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, n, w1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            # full (E, N, N) blam block, constant index map: VMEM-resident
-            # across the whole scenario sweep (E N^2 4B = 512 KB at E=2, N=256)
-            pl.BlockSpec((e, n, n), lambda b: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bt, e, n, w1), lambda b: (b, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, e, n, w1), jnp.float32),
-        interpret=_interpret(),
-    )(g, a, dvec[..., None], ao, blam)
 
 
 # ------------------------------------------------------------ public entry ---
