@@ -48,6 +48,12 @@ class SolverConfig:
     # L-BFGS options.
     history: int = struct.field(pytree_node=False, default=8)
     max_backtracks: int = struct.field(pytree_node=False, default=20)
+    # Nonmonotone Armijo window (Grippo-style): accept against the max of the
+    # last `nonmonotone` accepted objective values instead of the current one.
+    # 0 = monotone (classic). Nonmonotone acceptance lets L-BFGS traverse the
+    # curved valleys of the risk-sensitive cost without collapsing the step
+    # size — it cuts tail-lane iteration counts on the headline workload.
+    nonmonotone: int = struct.field(pytree_node=False, default=0)
     # Final polishing: a few projected-gradient steps with decaying step size to
     # tighten boundary activity (useful after Adam; rarely needed for L-BFGS).
     polish_iters: int = struct.field(pytree_node=False, default=0)
@@ -58,6 +64,11 @@ class SolveResult(NamedTuple):
     cost: jax.Array       # () objective at u
     iters: jax.Array      # () iterations taken
     pg_norm: jax.Array    # () final projected-gradient residual (inf-norm)
+    # True where the solve terminated on its own (tolerance reached, or
+    # stationary at the arithmetic noise floor) rather than on the iteration
+    # cap — the lanes a staged solve does NOT need to continue. None on
+    # solver paths that predate the field.
+    converged: Optional[jax.Array] = None
 
 
 def solve_trajectory(objective: Callable[[jax.Array], jax.Array],
@@ -119,8 +130,10 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
             r = r + (alphas[k] - b) * s_h[k]
         return r
 
+    nm = config.nonmonotone
+
     def cond(carry):
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, done = carry
+        u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, done = carry
         return jnp.logical_and(t < config.max_iters, jnp.logical_not(done))
 
     def body(carry):
@@ -131,7 +144,7 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         # rejection, doubled (capped) on acceptance; see the step-size policy
         # comment below. A rejected iteration costs one forward pass and
         # retries with the smaller step.
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, _ = carry
+        u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, _ = carry
         # Two-metric projection (Gafni-Bertsekas): quasi-Newton directions are
         # built from the FREE gradient only; bound-active coordinates (at the
         # bound with the gradient pushing outward) take plain gradient steps
@@ -158,13 +171,18 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         dec = jnp.dot(g, u_try - u)
         # Noise-tolerant Armijo: f32 rollouts carry ~eps-relative arithmetic
         # noise; demanding strict decrease below that noise floor halves t_ls
-        # to underflow and latches `done` prematurely.
+        # to underflow and latches `done` prematurely. Nonmonotone acceptance
+        # (config.nonmonotone > 0) tests against the window max.
+        f_acc = f if nm == 0 else jnp.max(fhist)
         eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
-            jnp.logical_and(f_try <= f + c1 * dec + eps_f, dec < 0.0),
+            jnp.logical_and(f_try <= f_acc + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
         u_new = jnp.where(accepted, u_try, u)
         f_new = jnp.where(accepted, f_try, f)
+        if nm > 0:
+            fhist = jnp.where(accepted,
+                              jnp.concatenate([fhist[1:], f_new[None]]), fhist)
         # Step-size policy (measured on the headline quality harness at the
         # 40-iteration budget; see commit message / benchmarks/quality.py):
         #   - growth capped at 4x the unit step: uncapped forward-tracking
@@ -215,22 +233,24 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
                               jnp.logical_and(underflow,
                                               jnp.logical_not(restart)))
-        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, resets2,
-                t + 1, done)
+        return (u_new, f_new, fhist, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
+                resets2, t + 1, done)
 
     u0 = proj(u_init.ravel())
     f0, g0 = vg(u0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    init = (u0, f0, g0, jnp.asarray(1.0, dt),
+    fhist0 = jnp.broadcast_to(f0, (max(nm, 1),)).astype(dt)
+    init = (u0, f0, fhist0, g0, jnp.asarray(1.0, dt),
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False))
-    u, f, g, _, _, _, _, _, _, iters, _ = jax.lax.while_loop(cond, body, init)
+    (u, f, _fh, g, _, _, _, _, _, _, iters,
+     done) = jax.lax.while_loop(cond, body, init)
     # pg from the carried gradient — a fresh grad here would inline another
     # full rollout forward+backward into the program.
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
-                       pg_norm=pg_res(u, g))
+                       pg_norm=pg_res(u, g), converged=done)
 
 
 def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
@@ -304,13 +324,16 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
             r = r + (alphas[:, k] - bk)[:, None] * s_h[:, k]
         return r
 
+    nm = config.nonmonotone
+
     def cond(carry):
         *_, t, _iters_b, done = carry
         return jnp.logical_and(t < config.max_iters,
                                jnp.logical_not(jnp.all(done)))
 
     def body(carry):
-        u, f, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, iters_b, done = carry
+        (u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, iters_b,
+         done) = carry
         live = jnp.logical_not(done)             # (B,)
         # Two-metric projection — see _solve_lbfgs for why the two-loop must
         # see only the FREE gradient.
@@ -334,14 +357,20 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         u_try = proj(u + t_ls[:, None] * d)
         f_try, g_try = val_and_grad(u_try)
         dec = jnp.einsum('bn,bn->b', g, u_try - u)
-        # Noise-tolerant Armijo (see _solve_lbfgs).
+        # Noise-tolerant Armijo (see _solve_lbfgs); nonmonotone acceptance
+        # tests against the window max instead of the current value.
+        f_acc = f if nm == 0 else jnp.max(fhist, axis=1)
         eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
-            jnp.logical_and(f_try <= f + c1 * dec + eps_f, dec < 0.0),
+            jnp.logical_and(f_try <= f_acc + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
         accepted = jnp.logical_and(accepted, live)
         u_new = jnp.where(accepted[:, None], u_try, u)
         f_new = jnp.where(accepted, f_try, f)
+        if nm > 0:
+            fhist = jnp.where(accepted[:, None],
+                              jnp.concatenate([fhist[:, 1:], f_new[:, None]],
+                                              axis=1), fhist)
         # Step-size policy: capped growth + quadratic-interpolation
         # backtracking — see _solve_lbfgs for the measured rationale.
         denom = f_try - f - dec
@@ -385,21 +414,22 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
             jnp.logical_and(underflow, jnp.logical_not(restart)))
         done2 = jnp.logical_or(done, jnp.logical_and(newly_done, live))
         iters_b2 = jnp.where(done, iters_b, t + 1)
-        return (u_new, f_new, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2, resets2,
-                t + 1, iters_b2, done2)
+        return (u_new, f_new, fhist, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
+                resets2, t + 1, iters_b2, done2)
 
     u0 = proj(u_init.reshape(b, n))
     f0, g0 = val_and_grad(u0)
     g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
-    init = (u0, f0, g0, jnp.ones((b,), dt),
+    fhist0 = jnp.broadcast_to(f0[:, None], (b, max(nm, 1))).astype(dt)
+    init = (u0, f0, fhist0, g0, jnp.ones((b,), dt),
             jnp.zeros((b, mem, n), dt), jnp.zeros((b, mem, n), dt),
             jnp.zeros((b, mem), dt), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool))
-    u, f, g, *_, iters_b, _ = jax.lax.while_loop(cond, body, init)
+    u, f, _fh, g, *_, iters_b, done = jax.lax.while_loop(cond, body, init)
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters_b,
-                       pg_norm=pg_res(u, g))
+                       pg_norm=pg_res(u, g), converged=done)
 
 
 def _solve_adam(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult:

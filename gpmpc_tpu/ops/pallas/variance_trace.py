@@ -171,11 +171,15 @@ def _rw_call(g, a, dvec, ao, blam):
     ao: (B, N, 1+d); blam: (E, N, N) -> rw (B, E, N, 1+d).
 
     Untied lengthscales mean one exp chain PER OUTPUT (inherent — each e has
-    its own M2), which is exactly the tied kernel at E = 1: dispatch it per
-    output and stack. This retires the round-1 untied kernel family, whose
-    natural layouts lane-padded d -> 128 (see _make_rw_tied_streamed_kernel
-    for the layout rules)."""
+    its own M2). The symmetric pair kernel streams ALL E chains per scenario
+    tile in one dispatch (each pair tile loads its operands once for all
+    outputs); the per-output fallback dispatches the tied kernel at E = 1 and
+    re-streams the scenario operands E times (the round-2 shape VERDICT r2
+    item 3 flagged)."""
     e = blam.shape[0]
+    n, d = a.shape[1:]
+    if _use_sym() and supported_sym(n, d, a.dtype, e, shared_chain=False):
+        return _rw_call_sym(g, a, dvec, ao, blam, shared_chain=False)
     outs = [_rw_call_tied(g[:, k], a, dvec[:, k], ao, blam[k:k + 1])
             for k in range(e)]
     return jnp.concatenate(outs, axis=1)
@@ -280,12 +284,212 @@ def _btile_streamed(b: int, n: int, tj: int, e: int, w1: int) -> int:
     return 1
 
 
+# ------------------------------------------------- symmetric pair kernels --
+# The W matrix is SYMMETRIC (W_ij = blam_ij exp(-1/4 a_i M2 a_j) with blam and
+# M2 symmetric), so the column-sweep streamed kernel computes every exp twice.
+# These kernels enumerate only the UPPER-TRIANGLE (T, T) tile pairs {I, J},
+# I <= J (scalar-prefetched index lists), compute the exp chain once per pair,
+# and mirror the off-diagonal contribution through a second MXU reduction:
+#
+#   acc[:, I] += AOD_J^T W_JI          (contract T_J — _dot3_t)
+#   acc[:, J] += AOD_I^T W_JI^T        (contract T_I — _dot3_t2, I != J only)
+#
+# VPU exp work drops to (nt+1)/(2 nt) of the column sweep (nt = N/T tiles:
+# 75% at N=256, 56% at N=1024); total MXU MACs are unchanged. The accumulator
+# IS the output block (index map constant along the pair axis, the matmul
+# revisiting pattern), laid out (bt, E, nt, W1, T) so the per-pair dynamic
+# store indexes an untiled dim — lanes stay T-aligned, W1 never lane-pads.
+#
+# shared_chain=True is the tied-lambdas variant (one exp chain per pair for
+# all E outputs); False gives every output its own chain (untied M2_e) while
+# still streaming each pair tile's operands ONCE for all outputs.
+
+
+def _use_sym() -> bool:
+    # Opt-in while the off-diagonal mirror path's accuracy regression vs the
+    # column-sweep kernel is being chased (see round-3 notes): the composite
+    # tied path measures ~2e-2 relative on the trace while every isolated
+    # piece (diag pairs, lone off-diag pair with simplified operands, both
+    # dot forms standalone) reproduces the oracle at ~1e-5.
+    import os
+    return os.environ.get('GPMPC_SYM_KERNEL') == '1'
+
+
+def _dot3_t2(ao_hi, ao_lo, w):
+    """(W1, T_J) = AOD_I^T @ W^T for AOD (T_I, W1), W (T_J, T_I) — contraction
+    over dim 0 of AOD and dim 1 of W, bf16x3 split as _dot3."""
+    dn = (((0,), (1,)), ((), ()))
+    w_hi, w_lo = _split_bf16(w)
+
+    def dg(x, y):
+        return jax.lax.dot_general(x, y, dn, precision=_DEF,
+                                   preferred_element_type=jnp.float32)
+
+    return dg(ao_hi, w_hi) + dg(ao_lo, w_hi) + dg(ao_hi, w_lo)
+
+
+def _pair_indices(nt: int):
+    """Upper-triangle tile pairs (I <= J), diagonal first — numpy int32."""
+    import numpy as np
+    pairs = [(i, i) for i in range(nt)]
+    pairs += [(i, j) for i in range(nt) for j in range(i + 1, nt)]
+    idx = np.asarray(pairs, np.int32)
+    return idx[:, 0], idx[:, 1]
+
+
+def _make_rw_sym_kernel(btile: int, e_total: int, d: int, w1: int,
+                        shared_chain: bool):
+    """comb packs per scenario row tile: [A | AOD] (shared chain) or
+    [A | AOD_0 | ... | AOD_{E-1}] (per-output chains); gt is (d, T) per
+    scenario (E stacked when per-output). Two comb views (tiles I and J) and
+    one gt view (tile I) stream per pair; acc_ref is the (bt, E, nt, W1, T)
+    output block, zeroed at p == 0 and accumulated in place."""
+    def kernel(iidx_ref, jidx_ref, gt_ref, comb_i_ref, comb_j_ref, blam_ref,
+               acc_ref):
+        p = pl.program_id(1)
+        i_idx = iidx_ref[p]
+        j_idx = jidx_ref[p]
+        off_diag = i_idx != j_idx
+
+        @pl.when(p == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        def body(k, carry):
+            comb_i = comb_i_ref[k]                           # (T, d + .)
+            comb_j = comb_j_ref[k]
+
+            def chain(gt):                                   # gt: (d, T_I)
+                # p_t[j, i] = a_J[j] . g_I[i] — W_JI's exponent, as d VPU
+                # rank-1 accumulations (see _p_outer for why not the MXU).
+                p_t = comb_j[:, 0:1] * gt[0:1, :]
+                for kk in range(1, d):
+                    p_t += comb_j[:, kk:kk + 1] * gt[kk:kk + 1, :]
+                return jnp.exp(-0.25 * p_t)                  # (T_J, T_I)
+
+            if shared_chain:
+                emat = chain(gt_ref[k])
+            for e in range(e_total):
+                emat_e = emat if shared_chain else chain(gt_ref[k, e])
+                w = blam_ref[e] * emat_e                     # (T_J, T_I)
+                c0 = d if shared_chain else d + e * w1
+                aod_i = comb_i[:, c0:c0 + w1]                # (T_I, W1)
+                aod_j = comb_j[:, c0:c0 + w1]                # (T_J, W1)
+                aj_hi, aj_lo = _split_bf16(aod_j)
+                ci = _dot3_t(aj_hi, aj_lo, w)                # (W1, T_I)
+                acc_ref[k, e, i_idx] += ci
+                ai_hi, ai_lo = _split_bf16(aod_i)
+                cj = _dot3_t2(ai_hi, ai_lo, w)               # (W1, T_J)
+                acc_ref[k, e, j_idx] += jnp.where(off_diag, cj, 0.0)
+            return carry
+
+        jax.lax.fori_loop(0, btile, body, 0)
+    return kernel
+
+
+def _btile_sym_fits(n: int, t: int, e: int, w1: int, nt: int,
+                    shared_chain: bool, bt: int) -> bool:
+    """VMEM feasibility of bt scenarios per pair-kernel grid cell
+    (x2 = double buffering; 8/128 sublane/lane pads)."""
+    budget = 12 * 1024 * 1024
+    w1_pad = 8 * ((w1 + 7) // 8)
+    e_g = 1 if shared_chain else e
+    fixed = 2 * e * t * t * 4                     # blam pair tiles
+    per_scen = (2 * (2 * t * 128 * 4             # two packed comb views
+                     + e_g * 8 * t * 4)          # gt tile(s)
+                + 2 * e * nt * w1_pad * t * 4)   # resident output block
+    return fixed + bt * per_scen <= budget
+
+
+def _btile_sym(b: int, n: int, t: int, e: int, w1: int, nt: int,
+               shared_chain: bool) -> int:
+    """Scenarios per grid cell for the pair kernel. More scenarios per cell
+    divide the blam pair-tile re-streaming ((B/bt) E N^2 (nt+1)/(2nt) 4B per
+    call), bounded by VMEM."""
+    for bt in (32, 16, 8, 4, 2):
+        if b % bt == 0 and _btile_sym_fits(n, t, e, w1, nt, shared_chain, bt):
+            return bt
+    return 1
+
+
+def supported_sym(n: int, d: int, dtype, e: int, shared_chain: bool) -> bool:
+    t = 128
+    if not (n % t == 0 and t <= n and d <= 8 and dtype == jnp.float32):
+        return False
+    w1 = 1 + d
+    if d + (1 if shared_chain else e) * w1 > 128:
+        return False
+    # At least one scenario per cell must fit the VMEM budget.
+    return _btile_sym_fits(n, t, e, w1, n // t, shared_chain, bt=1)
+
+
+def _rw_call_sym(g, a, dvec, ao, blam, shared_chain: bool):
+    """Symmetric pair dispatch. shared_chain: g (B, N, d), dvec (B, N);
+    per-output: g (B, E, N, d), dvec (B, E, N). a (B, N, d); ao (B, N, 1+d);
+    blam (E, N, N) -> rw (B, E, N, 1+d)."""
+    b, n, d = a.shape
+    e = blam.shape[0]
+    w1 = ao.shape[-1]
+    t = 128
+    nt = n // t
+    iidx, jidx = _pair_indices(nt)
+    n_pairs = iidx.shape[0]
+    bt = _btile_sym(b, n, t, e, w1, nt, shared_chain)
+    kernel = _make_rw_sym_kernel(bt, e, d, w1, shared_chain)
+
+    if shared_chain:
+        g_t = jnp.swapaxes(g, 1, 2)                          # (B, d, N)
+        aod = ao * dvec[..., None]                           # (B, N, W1)
+        comb = jnp.concatenate([a, aod], axis=-1)            # (B, N, d+W1)
+        gt_spec = pl.BlockSpec((bt, d, t),
+                               lambda b, p, ii, jj: (b, 0, ii[p]),
+                               memory_space=pltpu.VMEM)
+    else:
+        g_t = jnp.transpose(g, (0, 1, 3, 2))                 # (B, E, d, N)
+        aod = ao[:, None] * dvec[..., None]                  # (B, E, N, W1)
+        aod_flat = jnp.transpose(aod, (0, 2, 1, 3)).reshape(b, n, e * w1)
+        comb = jnp.concatenate([a, aod_flat], axis=-1)       # (B, N, d+E*W1)
+        gt_spec = pl.BlockSpec((bt, e, d, t),
+                               lambda b, p, ii, jj: (b, 0, 0, ii[p]),
+                               memory_space=pltpu.VMEM)
+
+    wc = comb.shape[-1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b // bt, n_pairs),
+        in_specs=[
+            gt_spec,
+            pl.BlockSpec((bt, t, wc), lambda b, p, ii, jj: (b, ii[p], 0),
+                         memory_space=pltpu.VMEM),           # comb view I
+            pl.BlockSpec((bt, t, wc), lambda b, p, ii, jj: (b, jj[p], 0),
+                         memory_space=pltpu.VMEM),           # comb view J
+            pl.BlockSpec((e, t, t), lambda b, p, ii, jj: (0, jj[p], ii[p]),
+                         memory_space=pltpu.VMEM),           # blam W_JI tile
+        ],
+        out_specs=pl.BlockSpec((bt, e, nt, w1, t),
+                               lambda b, p, ii, jj: (b, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    acc5 = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, e, nt, w1, n // nt), jnp.float32),
+        interpret=_interpret(),
+    )(jnp.asarray(iidx), jnp.asarray(jidx), g_t, comb, comb, blam)
+    # (B, E, nt, W1, T) -> (B, E, N, W1), then the final dv scaling (the
+    # kernel's old out_body) as one cheap XLA elementwise.
+    acc = jnp.transpose(acc5, (0, 1, 2, 4, 3)).reshape(b, e, n, w1)
+    dv = dvec[:, None, :] if shared_chain else dvec
+    return acc * dv[..., None]
+
+
 def _rw_call_tied(g, a, dvec, ao, blam):
     """g: (B, N, d) shared over outputs; a: (B, N, d); dvec: (B, N);
     ao: (B, N, 1+d); blam: (E, N, N) -> rw (B, E, N, 1+d)."""
     b, n, d = g.shape
     e = blam.shape[0]
     w1 = ao.shape[-1]
+    if _use_sym() and supported_sym(n, d, a.dtype, e, shared_chain=True):
+        return _rw_call_sym(g, a, dvec, ao, blam, shared_chain=True)
     if True:  # (kept for diff clarity) streamed serves all shapes
         # The streamed lane-aware kernel serves ALL tied shapes: measured
         # faster than the resident full-N variant even at the headline shape

@@ -111,6 +111,89 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
     return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov, delta)
 
 
+def _gather_params(params: CostParams, b: int, idx) -> CostParams:
+    """Gather the per-scenario ((B,)-leading) leaves of `params` at `idx`;
+    shared leaves pass through."""
+    def leaf(v):
+        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
+            return v[idx]
+        return v
+
+    return jax.tree.map(leaf, params, is_leaf=lambda v: v is None)
+
+
+def solve_batch_staged(gp: GPState, state_dim: int, action_dim: int,
+                       x0s: jax.Array, params: CostParams, horizon: int,
+                       lb, ub,
+                       solver: SolverConfig = SolverConfig(),
+                       budget1: int = 48,
+                       budget_total: int = 320,
+                       tail_divisor: int = 4,
+                       full_cov: bool = False,
+                       delta: bool = False) -> SolveResult:
+    """Two-phase adaptive-budget batched solve (host-orchestrated).
+
+    The lockstep batched solver's per-iteration cost scales with the live
+    batch width, but lanes converge at very different speeds (the iteration
+    histogram at the reference's tol 1e-4 is long-tailed). Running every lane
+    to the reference budget wastes most of the fleet's cycles on frozen
+    lanes, so: phase 1 runs all B lanes for `budget1` iterations; the lanes
+    that have not self-terminated are then GATHERED into compacted chunks of
+    B // tail_divisor and continued warm-started (fresh L-BFGS memory —
+    restart semantics) up to `budget_total` total iterations. Tail lanes pay
+    1/tail_divisor of the full-batch per-iteration cost, so total compute ~
+    budget1 + (tail fraction) * (budget_total - budget1) full-batch
+    iteration-equivalents while every lane still gets the reference budget
+    semantics (tol 1e-4, max ~300 iterations, reference mpc.py:308-324).
+
+    Two device round-trips (the convergence mask, the final scatter); the
+    phase-2 chunk shape is fixed, so exactly two programs compile. Requires
+    the fused lockstep path (solver.method='lbfgs').
+    """
+    import numpy as np
+
+    b = x0s.shape[0]
+    chunk = max(1, b // tail_divisor)
+    s1 = SolverConfig(method=solver.method, max_iters=budget1,
+                      tol=solver.tol, history=solver.history)
+    res1 = solve_batch(gp, state_dim, action_dim, x0s, params, horizon,
+                       lb, ub, s1, full_cov=full_cov, delta=delta)
+    conv = np.asarray(res1.converged)
+    todo = np.nonzero(~conv)[0]
+    if todo.size == 0:
+        return res1
+
+    u = np.asarray(res1.u)
+    cost = np.asarray(res1.cost)
+    iters = np.asarray(res1.iters)
+    pg = np.asarray(res1.pg_norm)
+    conv_out = conv.copy()
+
+    s2 = SolverConfig(method=solver.method,
+                      max_iters=budget_total - budget1,
+                      tol=solver.tol, history=solver.history)
+    # Pad the tail to a whole number of chunks by repeating the first
+    # unconverged lane: duplicates recompute the same deterministic result.
+    n_pad = (-todo.size) % chunk
+    todo_p = np.concatenate([todo, np.full(n_pad, todo[0], todo.dtype)])
+    for c0 in range(0, todo_p.size, chunk):
+        idx = jnp.asarray(todo_p[c0:c0 + chunk])
+        res2 = solve_batch(gp, state_dim, action_dim, x0s[idx],
+                           _gather_params(params, b, idx), horizon, lb, ub,
+                           s2, u_init=res1.u[idx], full_cov=full_cov,
+                           delta=delta)
+        idx_np = np.asarray(idx)
+        u[idx_np] = np.asarray(res2.u)
+        cost[idx_np] = np.asarray(res2.cost)
+        iters[idx_np] = budget1 + np.asarray(res2.iters)
+        pg[idx_np] = np.asarray(res2.pg_norm)
+        conv_out[idx_np] = np.asarray(res2.converged)
+
+    return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
+                       iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
+                       converged=jnp.asarray(conv_out))
+
+
 def solve_batch_sharded(mesh, gp: GPState, state_dim: int, action_dim: int,
                         x0s: jax.Array, params: CostParams, horizon: int,
                         lb, ub, solver: SolverConfig = SolverConfig(),
