@@ -37,7 +37,8 @@ def main():
 
     import jax.numpy as jnp
 
-    from benchmarks.problems import make_headline_problem
+    from benchmarks.problems import (BASELINE_TARGET_SOLVES_PER_S,
+                                     make_headline_problem)
     from gpmpc_tpu.mpc.solver import SolverConfig
     from gpmpc_tpu.parallel import batch as pbatch
 
@@ -83,7 +84,7 @@ def main():
         "metric": "gpmpc_solves_per_s_per_chip",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
-        "vs_baseline": round(solves_per_s / 1000.0, 3),
+        "vs_baseline": round(solves_per_s / BASELINE_TARGET_SOLVES_PER_S, 3),
     }))
 
 

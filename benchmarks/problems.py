@@ -14,6 +14,10 @@ from typing import NamedTuple
 
 import numpy as np
 
+# BASELINE.json north_star: ">=1000 concurrent GP-MPC solves/s on a v5p
+# host". The single source of truth for bench.py's vs_baseline ratio.
+BASELINE_TARGET_SOLVES_PER_S = 1000.0
+
 
 class HeadlineProblem(NamedTuple):
     gp: object            # GPState

@@ -54,6 +54,21 @@ class SolverConfig:
     # curved valleys of the risk-sensitive cost without collapsing the step
     # size — it cuts tail-lane iteration counts on the headline workload.
     nonmonotone: int = struct.field(pytree_node=False, default=0)
+    # Relative objective-evaluation noise (Berahas-Byrd-Nocedal-style
+    # noise-tolerant Armijo). The f32 uncertain rollout is chaotic: per-step
+    # rounding (~1e-6 relative) amplifies through the H-step recurrence to
+    # ~3e-3 relative objective noise (measured on the headline workload;
+    # more with the bf16x3 kernel dots). With the default noise floor
+    # (16 eps) the line search rejects every candidate whose true decrease
+    # sits below the noise, underflows, and falsely declares stalled lanes
+    # stationary — the round-2 quality gap (p90 cost excess 27% at 300
+    # iterations, all "converged"). Setting noise_rel to the measured noise
+    # accepts noise-neutral descent steps; termination then comes from the
+    # no-progress window below, not step-size underflow.
+    noise_rel: float = struct.field(pytree_node=False, default=0.0)
+    # With noise_rel > 0: declare a lane done when its best objective has not
+    # improved by more than the noise in this many consecutive iterations.
+    progress_window: int = struct.field(pytree_node=False, default=12)
     # Final polishing: a few projected-gradient steps with decaying step size to
     # tighten boundary activity (useful after Adam; rarely needed for L-BFGS).
     polish_iters: int = struct.field(pytree_node=False, default=0)
@@ -131,9 +146,11 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         return r
 
     nm = config.nonmonotone
+    noise = config.noise_rel
 
     def cond(carry):
-        u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, done = carry
+        (u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, f_best,
+         u_best, no_prog, t, done) = carry
         return jnp.logical_and(t < config.max_iters, jnp.logical_not(done))
 
     def body(carry):
@@ -144,7 +161,8 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         # rejection, doubled (capped) on acceptance; see the step-size policy
         # comment below. A rejected iteration costs one forward pass and
         # retries with the smaller step.
-        u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, _ = carry
+        (u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, f_best,
+         u_best, no_prog, t, _) = carry
         # Two-metric projection (Gafni-Bertsekas): quasi-Newton directions are
         # built from the FREE gradient only; bound-active coordinates (at the
         # bound with the gradient pushing outward) take plain gradient steps
@@ -174,7 +192,8 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         # to underflow and latches `done` prematurely. Nonmonotone acceptance
         # (config.nonmonotone > 0) tests against the window max.
         f_acc = f if nm == 0 else jnp.max(fhist)
-        eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
+        eps_scale = (2.0 * noise) if noise > 0.0 else 16.0 * jnp.finfo(dt).eps
+        eps_f = eps_scale * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
             jnp.logical_and(f_try <= f_acc + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
@@ -233,8 +252,16 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
         done = jnp.logical_or(pg_res(u_new, g_new) < config.tol,
                               jnp.logical_and(underflow,
                                               jnp.logical_not(restart)))
+        if noise > 0.0:
+            # Progress-window termination + best-iterate tracking (see
+            # solve_trajectory_batched).
+            improved = f_new < f_best - noise * (1.0 + jnp.abs(f_best))
+            u_best = jnp.where(f_new < f_best, u_new, u_best)
+            f_best = jnp.minimum(f_best, f_new)
+            no_prog = jnp.where(improved, 0, no_prog + 1)
+            done = jnp.logical_or(done, no_prog >= config.progress_window)
         return (u_new, f_new, fhist, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
-                resets2, t + 1, done)
+                resets2, f_best, u_best, no_prog, t + 1, done)
 
     u0 = proj(u_init.ravel())
     f0, g0 = vg(u0)
@@ -244,11 +271,15 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
             jnp.zeros((mem, n), dt), jnp.zeros((mem, n), dt),
             jnp.zeros((mem,), dt), jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32),
+            f0, u0, jnp.zeros((), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.asarray(False))
-    (u, f, _fh, g, _, _, _, _, _, _, iters,
+    (u, f, _fh, g, _, _, _, _, _, _, f_best, u_best, _np_, iters,
      done) = jax.lax.while_loop(cond, body, init)
     # pg from the carried gradient — a fresh grad here would inline another
     # full rollout forward+backward into the program.
+    if noise > 0.0:
+        return SolveResult(u=u_best.reshape(shape), cost=f_best, iters=iters,
+                           pg_norm=pg_res(u, g), converged=done)
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters,
                        pg_norm=pg_res(u, g), converged=done)
 
@@ -325,6 +356,7 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         return r
 
     nm = config.nonmonotone
+    noise = config.noise_rel
 
     def cond(carry):
         *_, t, _iters_b, done = carry
@@ -332,8 +364,8 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
                                jnp.logical_not(jnp.all(done)))
 
     def body(carry):
-        (u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, t, iters_b,
-         done) = carry
+        (u, f, fhist, g, t_ls, s_h, y_h, rho_h, hlen, resets, f_best,
+         u_best, no_prog, t, iters_b, done) = carry
         live = jnp.logical_not(done)             # (B,)
         # Two-metric projection — see _solve_lbfgs for why the two-loop must
         # see only the FREE gradient.
@@ -358,9 +390,11 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         f_try, g_try = val_and_grad(u_try)
         dec = jnp.einsum('bn,bn->b', g, u_try - u)
         # Noise-tolerant Armijo (see _solve_lbfgs); nonmonotone acceptance
-        # tests against the window max instead of the current value.
+        # tests against the window max instead of the current value. With a
+        # calibrated noise model the relaxation is 2 sigma (Berahas et al.).
         f_acc = f if nm == 0 else jnp.max(fhist, axis=1)
-        eps_f = 16.0 * jnp.finfo(dt).eps * (1.0 + jnp.abs(f))
+        eps_scale = (2.0 * noise) if noise > 0.0 else 16.0 * jnp.finfo(dt).eps
+        eps_f = eps_scale * (1.0 + jnp.abs(f))
         accepted = jnp.logical_and(
             jnp.logical_and(f_try <= f_acc + c1 * dec + eps_f, dec < 0.0),
             jnp.isfinite(f_try))
@@ -412,10 +446,24 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
         newly_done = jnp.logical_or(
             pg_res(u_new, g_new) < config.tol,
             jnp.logical_and(underflow, jnp.logical_not(restart)))
+        if noise > 0.0:
+            # Progress-window termination: the best objective must improve
+            # beyond the noise within `progress_window` iterations, else the
+            # lane is at its noise-floor optimum. (pg < tol rarely fires in
+            # noise; underflow still latches truly-stuck lanes.) The BEST
+            # iterate is tracked and returned: the noise-relaxed walk's final
+            # point sits ~2 sigma above its best-seen point.
+            improved = f_new < f_best - noise * (1.0 + jnp.abs(f_best))
+            better = f_new < f_best
+            u_best = jnp.where(better[:, None], u_new, u_best)
+            f_best = jnp.minimum(f_best, f_new)
+            no_prog = jnp.where(improved, 0, no_prog + 1)
+            newly_done = jnp.logical_or(newly_done,
+                                        no_prog >= config.progress_window)
         done2 = jnp.logical_or(done, jnp.logical_and(newly_done, live))
         iters_b2 = jnp.where(done, iters_b, t + 1)
         return (u_new, f_new, fhist, g_new, t_ls, s_h2, y_h2, rho_h2, hlen2,
-                resets2, t + 1, iters_b2, done2)
+                resets2, f_best, u_best, no_prog, t + 1, iters_b2, done2)
 
     u0 = proj(u_init.reshape(b, n))
     f0, g0 = val_and_grad(u0)
@@ -425,9 +473,18 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
             jnp.zeros((b, mem, n), dt), jnp.zeros((b, mem, n), dt),
             jnp.zeros((b, mem), dt), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), jnp.int32),
+            f0, u0, jnp.zeros((b,), jnp.int32),
             jnp.zeros((), jnp.int32), jnp.zeros((b,), jnp.int32),
             jnp.zeros((b,), bool))
-    u, f, _fh, g, *_, iters_b, done = jax.lax.while_loop(cond, body, init)
+    (u, f, _fh, g, _tl, _sh, _yh, _rh, _hl, _rs, f_best, u_best, _npg,
+     _t, iters_b, done) = jax.lax.while_loop(cond, body, init)
+    if noise > 0.0:
+        # Best-seen iterate (see body). pg_norm is reported at the LAST
+        # iterate (the carried gradient belongs to it) — in noise mode it is
+        # diagnostic only; termination quality is the progress window's job.
+        return SolveResult(u=u_best.reshape(shape), cost=f_best,
+                           iters=iters_b, pg_norm=pg_res(u, g),
+                           converged=done)
     return SolveResult(u=u.reshape(shape), cost=f, iters=iters_b,
                        pg_norm=pg_res(u, g), converged=done)
 

@@ -177,9 +177,6 @@ def _rw_call(g, a, dvec, ao, blam):
     re-streams the scenario operands E times (the round-2 shape VERDICT r2
     item 3 flagged)."""
     e = blam.shape[0]
-    n, d = a.shape[1:]
-    if _use_sym() and supported_sym(n, d, a.dtype, e, shared_chain=False):
-        return _rw_call_sym(g, a, dvec, ao, blam, shared_chain=False)
     outs = [_rw_call_tied(g[:, k], a, dvec[:, k], ao, blam[k:k + 1])
             for k in range(e)]
     return jnp.concatenate(outs, axis=1)
@@ -339,40 +336,46 @@ def _pair_indices(nt: int):
 
 def _make_rw_sym_kernel(btile: int, e_total: int, d: int, w1: int,
                         shared_chain: bool):
-    """comb packs per scenario row tile: [A | AOD] (shared chain) or
-    [A | AOD_0 | ... | AOD_{E-1}] (per-output chains); gt is (d, T) per
+    """comb packs per scenario row tile: [Z | AOD] (shared chain) or
+    [Z_0..Z_{E-1} | AOD_0..AOD_{E-1}] (per-output chains); zt is (d, T) per
     scenario (E stacked when per-output). Two comb views (tiles I and J) and
-    one gt view (tile I) stream per pair; acc_ref is the (bt, E, nt, W1, T)
-    output block, zeroed at p == 0 and accumulated in place."""
-    def kernel(iidx_ref, jidx_ref, gt_ref, comb_i_ref, comb_j_ref, blam_ref,
+    one zt view (tile I) stream per pair; acc_ref is the (bt, E, nt, W1, T)
+    output block, zeroed at p == 0 and accumulated in place.
+
+    The exponent uses the whitened parametrization p_ij = z_i . z_j
+    (_prep_sym): for pair (J, I) the chain computes sum_k z_J[:, k] (x)
+    zt_I[k, :], the SAME products in the SAME order as the (I, J) view, so
+    the mirrored contribution uses a bit-exactly symmetric W tile."""
+    def kernel(iidx_ref, jidx_ref, zt_ref, comb_i_ref, comb_j_ref, blam_ref,
                acc_ref):
         p = pl.program_id(1)
         i_idx = iidx_ref[p]
         j_idx = jidx_ref[p]
         off_diag = i_idx != j_idx
+        zw = d * (1 if shared_chain else e_total)   # comb z-block width
 
         @pl.when(p == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def body(k, carry):
-            comb_i = comb_i_ref[k]                           # (T, d + .)
+            comb_i = comb_i_ref[k]                           # (T, zw + .)
             comb_j = comb_j_ref[k]
 
-            def chain(gt):                                   # gt: (d, T_I)
-                # p_t[j, i] = a_J[j] . g_I[i] — W_JI's exponent, as d VPU
+            def chain(z0, zt):                               # zt: (d, T_I)
+                # p_t[j, i] = z_J[j] . z_I[i] — W_JI's exponent, as d VPU
                 # rank-1 accumulations (see _p_outer for why not the MXU).
-                p_t = comb_j[:, 0:1] * gt[0:1, :]
+                p_t = comb_j[:, z0:z0 + 1] * zt[0:1, :]
                 for kk in range(1, d):
-                    p_t += comb_j[:, kk:kk + 1] * gt[kk:kk + 1, :]
+                    p_t += comb_j[:, z0 + kk:z0 + kk + 1] * zt[kk:kk + 1, :]
                 return jnp.exp(-0.25 * p_t)                  # (T_J, T_I)
 
             if shared_chain:
-                emat = chain(gt_ref[k])
+                emat = chain(0, zt_ref[k])
             for e in range(e_total):
-                emat_e = emat if shared_chain else chain(gt_ref[k, e])
+                emat_e = emat if shared_chain else chain(e * d, zt_ref[k, e])
                 w = blam_ref[e] * emat_e                     # (T_J, T_I)
-                c0 = d if shared_chain else d + e * w1
+                c0 = zw if shared_chain else zw + e * w1
                 aod_i = comb_i[:, c0:c0 + w1]                # (T_I, W1)
                 aod_j = comb_j[:, c0:c0 + w1]                # (T_J, W1)
                 aj_hi, aj_lo = _split_bf16(aod_j)
@@ -416,20 +419,51 @@ def supported_sym(n: int, d: int, dtype, e: int, shared_chain: bool) -> bool:
     t = 128
     if not (n % t == 0 and t <= n and d <= 8 and dtype == jnp.float32):
         return False
-    w1 = 1 + d
+    w1 = 8 * ((1 + d + 7) // 8)      # padded to full sublane tiles
     if d + (1 if shared_chain else e) * w1 > 128:
         return False
     # At least one scenario per cell must fit the VMEM budget.
     return _btile_sym_fits(n, t, e, w1, n // t, shared_chain, bt=1)
 
 
-def _rw_call_sym(g, a, dvec, ao, blam, shared_chain: bool):
-    """Symmetric pair dispatch. shared_chain: g (B, N, d), dvec (B, N);
-    per-output: g (B, E, N, d), dvec (B, E, N). a (B, N, d); ao (B, N, 1+d);
-    blam (E, N, N) -> rw (B, E, N, 1+d)."""
+def _prep_sym(u, m2, x, batched_m2_axes: int):
+    """Sym-kernel prep: the exponent is parametrized through z = a chol(M2)
+    so that p_ij = z_i . z_j is BIT-SYMMETRIC in f32 (identical products,
+    identical summation order for (i, j) and (j, i)). The g = a M2 form the
+    column-sweep kernel uses satisfies a_j . g_i = a_i . g_j only in exact
+    arithmetic; its f32 asymmetry (~|p| eps) is amplified by exp(-p/4) at
+    large |p| into ~1e-3 errors on the mirrored tile contributions — the
+    round-3 accuracy regression this parametrization eliminates.
+
+    m2 axes: (B, d, d) tied / (B, E, d, d) untied. Returns (a, z, dvec)."""
+    a = u[:, None, :] - x[None]                    # (B, N, d)
+    low = jnp.linalg.cholesky(m2)                  # M2 = L L^T (PD by constr.)
+    if batched_m2_axes == 1:
+        z = jnp.einsum('bnd,bdk->bnk', a, low)     # z_i = L^T a_i
+        q = jnp.sum(z * z, axis=-1)                # (B, N)
+    else:
+        z = jnp.einsum('bnd,bedk->benk', a, low)   # (B, E, N, d)
+        q = jnp.sum(z * z, axis=-1)                # (B, E, N)
+    return a, z, jnp.exp(-0.125 * q)
+
+
+def _rw_call_sym(z, a, dvec, ao, blam, shared_chain: bool):
+    """Symmetric pair dispatch. shared_chain: z (B, N, d), dvec (B, N);
+    per-output: z (B, E, N, d), dvec (B, E, N). a (B, N, d); ao (B, N, 1+d);
+    blam (E, N, N) -> rw (B, E, N, 1+d). z is the Cholesky-whitened input
+    (_prep_sym): p_ij = z_i . z_j."""
     b, n, d = a.shape
     e = blam.shape[0]
-    w1 = ao.shape[-1]
+    w1_out = ao.shape[-1]
+    # Pad the augmented reduction matrix to a full 8-sublane tile: the
+    # accumulator's per-(e, tile) planes are then exactly one (8, 128) VMEM
+    # tile each, so the dynamic nt-index store never straddles a sublane
+    # offset inside a tile. The zero columns contribute zeros end to end.
+    w1 = 8 * ((w1_out + 7) // 8)
+    if w1 != w1_out:
+        ao = jnp.concatenate(
+            [ao, jnp.zeros(ao.shape[:-1] + (w1 - w1_out,), ao.dtype)],
+            axis=-1)
     t = 128
     nt = n // t
     iidx, jidx = _pair_indices(nt)
@@ -438,18 +472,19 @@ def _rw_call_sym(g, a, dvec, ao, blam, shared_chain: bool):
     kernel = _make_rw_sym_kernel(bt, e, d, w1, shared_chain)
 
     if shared_chain:
-        g_t = jnp.swapaxes(g, 1, 2)                          # (B, d, N)
+        z_t = jnp.swapaxes(z, 1, 2)                          # (B, d, N)
         aod = ao * dvec[..., None]                           # (B, N, W1)
-        comb = jnp.concatenate([a, aod], axis=-1)            # (B, N, d+W1)
-        gt_spec = pl.BlockSpec((bt, d, t),
+        comb = jnp.concatenate([z, aod], axis=-1)            # (B, N, d+W1)
+        zt_spec = pl.BlockSpec((bt, d, t),
                                lambda b, p, ii, jj: (b, 0, ii[p]),
                                memory_space=pltpu.VMEM)
     else:
-        g_t = jnp.transpose(g, (0, 1, 3, 2))                 # (B, E, d, N)
+        z_t = jnp.transpose(z, (0, 1, 3, 2))                 # (B, E, d, N)
         aod = ao[:, None] * dvec[..., None]                  # (B, E, N, W1)
         aod_flat = jnp.transpose(aod, (0, 2, 1, 3)).reshape(b, n, e * w1)
-        comb = jnp.concatenate([a, aod_flat], axis=-1)       # (B, N, d+E*W1)
-        gt_spec = pl.BlockSpec((bt, e, d, t),
+        z_flat = jnp.transpose(z, (0, 2, 1, 3)).reshape(b, n, e * d)
+        comb = jnp.concatenate([z_flat, aod_flat], axis=-1)  # (B,N,E*(d+W1))
+        zt_spec = pl.BlockSpec((bt, e, d, t),
                                lambda b, p, ii, jj: (b, 0, 0, ii[p]),
                                memory_space=pltpu.VMEM)
 
@@ -458,7 +493,7 @@ def _rw_call_sym(g, a, dvec, ao, blam, shared_chain: bool):
         num_scalar_prefetch=2,
         grid=(b // bt, n_pairs),
         in_specs=[
-            gt_spec,
+            zt_spec,
             pl.BlockSpec((bt, t, wc), lambda b, p, ii, jj: (b, ii[p], 0),
                          memory_space=pltpu.VMEM),           # comb view I
             pl.BlockSpec((bt, t, wc), lambda b, p, ii, jj: (b, jj[p], 0),
@@ -474,10 +509,11 @@ def _rw_call_sym(g, a, dvec, ao, blam, shared_chain: bool):
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, e, nt, w1, n // nt), jnp.float32),
         interpret=_interpret(),
-    )(jnp.asarray(iidx), jnp.asarray(jidx), g_t, comb, comb, blam)
+    )(jnp.asarray(iidx), jnp.asarray(jidx), z_t, comb, comb, blam)
     # (B, E, nt, W1, T) -> (B, E, N, W1), then the final dv scaling (the
     # kernel's old out_body) as one cheap XLA elementwise.
     acc = jnp.transpose(acc5, (0, 1, 2, 4, 3)).reshape(b, e, n, w1)
+    acc = acc[..., :w1_out]
     dv = dvec[:, None, :] if shared_chain else dvec
     return acc * dv[..., None]
 
@@ -488,8 +524,6 @@ def _rw_call_tied(g, a, dvec, ao, blam):
     b, n, d = g.shape
     e = blam.shape[0]
     w1 = ao.shape[-1]
-    if _use_sym() and supported_sym(n, d, a.dtype, e, shared_chain=True):
-        return _rw_call_sym(g, a, dvec, ao, blam, shared_chain=True)
     if True:  # (kept for diff clarity) streamed serves all shapes
         # The streamed lane-aware kernel serves ALL tied shapes: measured
         # faster than the resident full-N variant even at the headline shape
@@ -553,6 +587,23 @@ def _prep_tied(u, m2, x):
     return a, g, jnp.exp(-0.125 * q)
 
 
+def _rw_dispatch(u, m2, x, blam, tied: bool):
+    """Prep + kernel dispatch shared by the primal and the VJP fwd: the
+    symmetric pair kernel (whitened z parametrization) when enabled and
+    supported, else the column-sweep path."""
+    n, d = x.shape
+    e = blam.shape[0]
+    if (_use_sym() and enabled_batched()
+            and supported_sym(n, d, x.dtype, e, shared_chain=tied)):
+        a, zz, dvec = _prep_sym(u, m2, x, 1 if tied else 2)
+        return _rw_call_sym(zz, a, dvec, _aug(a), blam, shared_chain=tied)
+    if tied:
+        a, g, dvec = _prep_tied(u, m2, x)
+        return _rw_call_tied(g, a, dvec, _aug(a), blam)
+    a, g, dvec = _prep_batched(u, m2, x)
+    return _rw_call(g, a, dvec, _aug(a), blam)
+
+
 @jax.custom_vjp
 def variance_trace_batched(u, m2, x, blam):
     """Batched fused trace: u (B, d); m2 (B, E, d, d); x (N, d) shared;
@@ -563,16 +614,14 @@ def variance_trace_batched(u, m2, x, blam):
     and for m2 = (Lambda/2 + S)^{-1} (with t = sum_ij blam_ij
     exp(-1/8 s^T M2 s), s = a_i + a_j, symmetry collapses the four
     gradient terms into the two the backward computes)."""
-    a, g, dvec = _prep_batched(u, m2, x)
-    rw = _rw_call(g, a, dvec, _aug(a), blam)
+    rw = _rw_dispatch(u, m2, x, blam, tied=False)
     return jnp.sum(rw[..., 0], axis=-1)
 
 
 def _vtb_fwd(u, m2, x, blam):
     # The kernel's rw output doubles as the VJP residual: the backward is pure
     # O(N d) XLA contractions — nothing N^2-sized is recomputed or stored.
-    a, g, dvec = _prep_batched(u, m2, x)
-    rw = _rw_call(g, a, dvec, _aug(a), blam)
+    rw = _rw_dispatch(u, m2, x, blam, tied=False)
     return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
 
 
@@ -597,14 +646,12 @@ def variance_trace_batched_tied(u, m2, x, blam):
     outputs; x (N, d); blam (E, N, N) -> (B, E). Same math as
     variance_trace_batched with m2 broadcast over E, but the O(N^2) exp chain
     runs once per scenario instead of once per (scenario, output)."""
-    a, g, dvec = _prep_tied(u, m2, x)
-    rw = _rw_call_tied(g, a, dvec, _aug(a), blam)
+    rw = _rw_dispatch(u, m2, x, blam, tied=True)
     return jnp.sum(rw[..., 0], axis=-1)
 
 
 def _vtt_fwd(u, m2, x, blam):
-    a, g, dvec = _prep_tied(u, m2, x)
-    rw = _rw_call_tied(g, a, dvec, _aug(a), blam)
+    rw = _rw_dispatch(u, m2, x, blam, tied=True)
     return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
 
 

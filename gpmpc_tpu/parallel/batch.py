@@ -163,10 +163,10 @@ def solve_batch_staged(gp: GPState, state_dim: int, action_dim: int,
     if todo.size == 0:
         return res1
 
-    u = np.asarray(res1.u)
-    cost = np.asarray(res1.cost)
-    iters = np.asarray(res1.iters)
-    pg = np.asarray(res1.pg_norm)
+    u = np.array(res1.u)
+    cost = np.array(res1.cost)
+    iters = np.array(res1.iters)
+    pg = np.array(res1.pg_norm)
     conv_out = conv.copy()
 
     s2 = SolverConfig(method=solver.method,
