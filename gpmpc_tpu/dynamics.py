@@ -212,9 +212,16 @@ def rollout_from_gp(gp: GPState, state_dim: int, action_dim: int,
 
 
 def _step_batched(cache: RolloutCache, mean, cov_diag, action,
-                  action_var: float, delta: bool):
+                  action_var: float, delta: bool, mean_only: bool = False):
     """mean: (B, ds); cov_diag: (B, ds); action: (B, da) ->
-    (new_mean (B, ds), new_cov_diag (B, ds))."""
+    (new_mean (B, ds), new_cov_diag (B, ds)).
+
+    mean_only=True skips the O(N^2) predictive-variance contraction entirely
+    (the step's dominant cost) and carries the floor variance: the
+    SURROGATE rollout used by the multi-start basin-selection phase of
+    solve_batch_multistart — the basin structure of the trajectory
+    optimization comes from the (mean) dynamics' multimodality, and this
+    surrogate costs O(B N d) per step instead of O(B N^2)."""
     ds, da = cache.state_dim, cache.action_dim
     b = mean.shape[0]
     dt = mean.dtype
@@ -230,11 +237,16 @@ def _step_batched(cache: RolloutCache, mean, cov_diag, action,
         joint_mean, joint_diag, cache.x, cache.beta, cache.log_lambdas,
         cache.log_sigma_f, cache.mask, tied=cache.tied_lambdas)
 
+    min_var = 1e-8
+    if mean_only:
+        e = cache.beta.shape[0]
+        if delta:
+            return mean + gp_mean, jnp.full((b, e), min_var, dt)
+        return gp_mean, jnp.full((b, e), min_var, dt)
+
     gp_var = moments.variance_prop_multi_batched_diag(
         joint_mean, joint_diag, cache.x, cache.b_lam, cache.log_lambdas,
         cache.log_sigma_f, gp_mean, tied=cache.tied_lambdas)      # (B, E)
-
-    min_var = 1e-8
     if delta:
         c_io = moments.input_output_cov_batched_diag(
             joint_mean, joint_diag, cache.x, cache.beta, l,
@@ -304,7 +316,8 @@ def _step_batched_full(cache: RolloutCache, mean, cov, action,
 
 def rollout_batched(cache: RolloutCache, x0s: jax.Array, actions: jax.Array,
                     init_state_var: float = 1e-3, action_var: float = 1e-3,
-                    delta: bool = False, full_cov: bool = False):
+                    delta: bool = False, full_cov: bool = False,
+                    mean_only: bool = False, frozen_cov_diag=None):
     """Batched H-step uncertain shooting rollout.
 
     x0s: (B, ds); actions: (B, H, da).
@@ -339,10 +352,34 @@ def rollout_batched(cache: RolloutCache, x0s: jax.Array, actions: jax.Array,
 
     var0 = jnp.full((b, ds), init_state_var, dt)
 
+    if frozen_cov_diag is not None:
+        # FROZEN-COVARIANCE surrogate rollout (solve_batch_multistart's
+        # gamma-aware cheap phase): the carried variance is replaced by the
+        # supplied (B, H+1, ds) diagonal sequence — typically captured from
+        # one full rollout and stop-gradient'd — so the O(N^2) per-step
+        # variance contraction is skipped while the MEAN propagation still
+        # moment-matches against the (frozen) input covariance and the cost
+        # still sees a gamma-weighted uncertainty trajectory. The missing
+        # piece vs the full objective is only dSigma/du.
+        fro = jnp.swapaxes(frozen_cov_diag, 0, 1)                 # (H+1, B, ds)
+
+        def body_frozen(carry, xs):
+            mean, = carry
+            u_t, var_t = xs
+            new_mean, _ = _step_batched(cache, mean, var_t, u_t, action_var,
+                                        delta, mean_only=True)
+            return (new_mean,), new_mean
+
+        _, means = jax.lax.scan(body_frozen, (x0s,),
+                                (jnp.swapaxes(actions, 0, 1), fro[:-1]))
+        means = jnp.concatenate([x0s[None], means], axis=0)
+        covs = fro[..., :, None] * jnp.eye(ds, dtype=dt)
+        return jnp.swapaxes(means, 0, 1), jnp.swapaxes(covs, 0, 1)
+
     def body(carry, u_t):
         mean, var = carry
         new_mean, new_var = _step_batched(cache, mean, var, u_t, action_var,
-                                          delta)
+                                          delta, mean_only=mean_only)
         return (new_mean, new_var), (new_mean, new_var)
 
     _, (means, variances) = jax.lax.scan(

@@ -57,6 +57,15 @@ class GPConfig:
     # the shared-exp-chain fused variance kernel (ops/pallas/variance_trace).
     # Purely a performance hint — never affects results.
     tied_lambdas: bool = struct.field(pytree_node=False, default=False)
+    # Run the O(N^3) factorization in f64 and cast the results back to the
+    # storage dtype (effective only under jax.enable_x64; silently a no-op
+    # otherwise). At the headline conditioning (cond(Ky) ~ 2e4) an f32
+    # Cholesky leaves ~1e-3 relative error in beta/kinv — a SYSTEMATIC model
+    # error that the chaotic H-step rollout amplifies into ~1e-1 relative
+    # objective deviation (round-3 measurement: TPU-f32-fit vs f64-fit J
+    # deviation p50 8.9e-2 at fixed u). The fit is once per posterior and
+    # amortized over every solve in the batch, so f64 here is ~free.
+    fit_in_f64: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass
@@ -169,6 +178,72 @@ def _solve_eigh(ky, mask, resid, base_jitter):
     return kinv, beta, logdet, floor
 
 
+def _factorize_host_f64(state: GPState) -> GPState:
+    """Host-side numpy f64 twin of the device factorization.
+
+    The TPU process cannot enable jax_enable_x64 (the Mosaic kernels reject
+    x64-promoted index types), so when the factorization runs EAGERLY on
+    concrete arrays the O(N^3) solve happens here in numpy f64 and the
+    results are cast to the storage dtype. Semantics mirror the device path
+    exactly: masked Ky assembly with unit padded diagonal, escalating-jitter
+    Cholesky ('chol') or spectrum-clipped eigendecomposition ('eigh')."""
+    import numpy as np
+
+    cfg = state.config
+    dt_store = state.x.dtype
+    x = np.asarray(state.x, np.float64)
+    mask = np.asarray(state.mask)
+    ll = np.asarray(state.log_lambdas, np.float64)
+    lsf = np.asarray(state.log_sigma_f, np.float64)
+    lsn = np.asarray(state.log_sigma_n, np.float64)
+    resid = np.asarray(residuals(state), np.float64)
+    e, cap = resid.shape
+    m2 = np.outer(mask, mask).astype(np.float64)
+    kinv = np.zeros((e, cap, cap))
+    beta = np.zeros((e, cap))
+    logdet = np.zeros(e)
+    jit_used = np.zeros(e)
+    n_valid = max(int(mask.sum()), 1)
+    for k in range(e):
+        a = x * np.exp(-0.5 * ll[k])[None, :]
+        sq = np.sum(a * a, axis=1)
+        d2 = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (a @ a.T), 0.0)
+        kf = np.exp(2.0 * lsf[k]) * np.exp(-0.5 * d2)
+        diag = np.where(mask, np.exp(2.0 * lsn[k]), 1.0)
+        ky = kf * m2 + np.diag(diag)
+        if cfg.solve_backend == 'chol':
+            mean_diag = float(np.sum(np.diagonal(ky) * mask) / n_valid)
+            eps0 = 10.0 * np.finfo(np.float64).eps * mean_diag
+            j = float(cfg.jitter)
+            diag_mask = np.diag(mask.astype(np.float64))
+            for _ in range(9):
+                try:
+                    chol = np.linalg.cholesky(ky + j * diag_mask)
+                    break
+                except np.linalg.LinAlgError:
+                    j = eps0 if j == 0.0 else j * 10.0
+            else:                                    # pragma: no cover
+                raise np.linalg.LinAlgError('jitter escalation exhausted')
+            from scipy.linalg import cho_solve as _cho_solve
+            kinv[k] = _cho_solve((chol, True), np.eye(cap))
+            beta[k] = _cho_solve((chol, True), resid[k])
+            logdet[k] = 2.0 * np.sum(np.log(np.diagonal(chol)))
+            jit_used[k] = j
+        else:
+            w, v = np.linalg.eigh(ky)
+            floor = max(float(cfg.jitter),
+                        cap * np.finfo(np.float64).eps * float(w[-1]))
+            w_clip = np.maximum(w, floor)
+            kinv[k] = (v * (1.0 / w_clip)[None, :]) @ v.T
+            beta[k] = v @ ((1.0 / w_clip) * (v.T @ resid[k]))
+            logdet[k] = float(np.sum(np.log(w_clip)))
+            jit_used[k] = floor
+    return state.replace(kinv=jnp.asarray(kinv, dt_store),
+                         beta=jnp.asarray(beta, dt_store),
+                         logdet=jnp.asarray(logdet, dt_store),
+                         jitter_used=jnp.asarray(jit_used, dt_store))
+
+
 @f32_matmul_precision
 def _factorize(state: GPState) -> GPState:
     """Rebuild kinv / beta / logdet under current data + hyperparameters.
@@ -176,18 +251,35 @@ def _factorize(state: GPState) -> GPState:
     Mirrors build_Ky_inv_mat (gpr.py:159-171) but masked, with adaptive-jitter
     Cholesky (default) or spectrum-clipped eigh instead of the reference's raw
     torch.linalg.inv, and with true-f32 matmul precision forced (TPU's default
-    bf16 matmul passes break the factorization)."""
+    bf16 matmul passes break the factorization). With fit_in_f64 (default) the
+    whole factorization runs in f64 when x64 is enabled and results are cast
+    back — see GPConfig.fit_in_f64 for the measured systematic-error rationale.
+    """
     cfg = state.config
-    kf = se_gram_batched(state.x, state.x, state.log_lambdas, state.log_sigma_f)
-    diag_add = jnp.exp(2.0 * state.log_sigma_n)               # (E,)
+    dt_store = state.x.dtype
+    concrete = not isinstance(state.x, jax.core.Tracer)
+    if (cfg.fit_in_f64 and concrete and dt_store != jnp.float64
+            and not jax.config.jax_enable_x64):
+        # Eager call in a non-x64 process (the TPU production path): the f64
+        # factorization runs host-side in numpy.
+        return _factorize_host_f64(state)
+    use64 = (cfg.fit_in_f64 and jax.config.jax_enable_x64
+             and dt_store != jnp.float64)
+    up = (lambda v: v.astype(jnp.float64)) if use64 else (lambda v: v)
+
+    kf = se_gram_batched(up(state.x), up(state.x), up(state.log_lambdas),
+                         up(state.log_sigma_f))
+    diag_add = jnp.exp(2.0 * up(state.log_sigma_n))           # (E,)
     ky = jax.vmap(masked_psd_add, in_axes=(0, None, 0))(kf, state.mask, diag_add)
-    resid = residuals(state)
+    resid = up(residuals(state))
 
     solver = _solve_chol if cfg.solve_backend == 'chol' else _solve_eigh
     kinv, beta, logdet, jitter = jax.vmap(solver, in_axes=(0, None, 0, None))(
         ky, state.mask, resid, cfg.jitter)
-    return state.replace(kinv=kinv, beta=beta, logdet=logdet,
-                         jitter_used=jitter)
+    return state.replace(kinv=kinv.astype(dt_store),
+                         beta=beta.astype(dt_store),
+                         logdet=logdet.astype(dt_store),
+                         jitter_used=jitter.astype(dt_store))
 
 
 fit = _factorize

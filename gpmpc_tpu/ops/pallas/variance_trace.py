@@ -533,8 +533,11 @@ def _rw_call_tied(g, a, dvec, ao, blam):
         # tj = 128 (not _jtile): smaller column tiles shrink the per-scenario
         # VMEM working set, which lets more scenarios share one grid cell —
         # and blam re-streaming traffic is (B / bt) E N^2 4B, so bt is the
-        # lever that matters.
-        tj = 128
+        # lever that matters. GPMPC_TJ overrides for measurement.
+        import os
+        tj = int(os.environ.get('GPMPC_TJ', '128'))
+        if n % tj != 0:
+            tj = 128
         bt = _btile_streamed(b, n, tj, e, w1)
         kernel = _make_rw_tied_streamed_kernel(bt, e)
         g_t = jnp.swapaxes(g, 1, 2)                     # (B, d, N)

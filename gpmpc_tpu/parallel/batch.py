@@ -111,6 +111,135 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
     return fn(cache, params, x0s, u_init, lb, ub, solver, full_cov, delta)
 
 
+def _tile_params(params: CostParams, b: int, k: int) -> CostParams:
+    """Tile the per-scenario ((B,)-leading) leaves of `params` k times along
+    the batch axis (for start-multiplexed super-batches); shared leaves pass
+    through."""
+    def leaf(v):
+        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
+            return jnp.tile(v, (k,) + (1,) * (v.ndim - 1))
+        return v
+
+    return jax.tree.map(leaf, params, is_leaf=lambda v: v is None)
+
+
+def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
+                           x0s: jax.Array, params: CostParams, horizon: int,
+                           lb, ub,
+                           solver: SolverConfig = SolverConfig(),
+                           n_starts: int = 4,
+                           surrogate: Optional[SolverConfig] = None,
+                           surrogate_mode: str = 'frozen',
+                           frozen_rounds: int = 3,
+                           start_scale: float = 0.6,
+                           seed: int = 0,
+                           delta: bool = False) -> SolveResult:
+    """Two-phase global-then-local batched solve — the production recipe for
+    reference-matching solution quality at batch throughput.
+
+    Measured motivation (round-3 probes on the headline workload): the f32
+    solve's local machinery is essentially exact — warm-started at the f64
+    reference solution it stays within 0.1% cost everywhere — but from the
+    cold start u = 0 the chaotic f32 rollout sends ~1/3 of the lanes down a
+    worse BASIN than the f64 path finds (p90 cost excess ~10% no matter how
+    many local iterations are spent). Basin selection, not refinement, is
+    the expensive-precision-critical part; and basin structure comes from
+    the (mean) dynamics' multimodality, not from the uncertainty terms.
+
+    Phase 0 therefore runs `n_starts` starts per scenario (u = 0 plus
+    uniform draws over `start_scale` of the box) against a CHEAP surrogate
+    whose per-iteration cost is O(B N d) instead of the full moment-matching
+    O(B N^2):
+
+      surrogate_mode='mean':   pure mean-only rollout (basin structure only;
+                               gamma-blind — all risk settings see the same
+                               surrogate landscape);
+      surrogate_mode='frozen': `frozen_rounds` cycles of [one FULL rollout to
+                               capture the variance trajectory -> cheap
+                               L-BFGS iterations on the frozen-covariance
+                               objective]. The cost keeps its gamma-weighted
+                               (Q^{-1} + gamma Sigma)^{-1} state weighting,
+                               so risk-averse and risk-seeking lanes shape
+                               their candidates differently; only dSigma/du
+                               is missing from the surrogate gradient.
+
+    Candidates are then scored under the FULL objective (one O(N^2) rollout
+    per start) and the per-scenario best warm-starts phase 1, the full
+    noise-tolerant solve.
+
+    Everything is one jittable computation (no host round trips); combine
+    with solve_batch_staged-style compaction by passing the result's
+    `converged` mask downstream if desired.
+    """
+    b = x0s.shape[0]
+    k = n_starts
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    if surrogate is None:
+        # frozen mode iterates per round; mean mode runs once.
+        surrogate = solver.replace(
+            max_iters=(16 if surrogate_mode == 'frozen' else 80), tol=1e-3)
+
+    params_k = _tile_params(params, b, k)
+    params_axes_k = _params_axes(params_k, k * b)
+    cost_k = jax.vmap(risk_sensitive_cost, in_axes=(params_axes_k, 0, 0, 0))
+    x0s_k = jnp.tile(x0s, (k, 1))
+
+    def objective_surrogate(u):                   # (K*B, H, da) -> (K*B,)
+        means, covs = rollout_batched(cache, x0s_k, u, delta=delta,
+                                      mean_only=True)
+        return cost_k(params_k, means, covs, u)
+
+    def objective_full_k(u):
+        means, covs = rollout_batched(cache, x0s_k, u, delta=delta)
+        return cost_k(params_k, means, covs, u)
+
+    # Starts: u = 0 (the reference's cold start, mpc.py:292-293) + draws.
+    key = jax.random.PRNGKey(seed)
+    dt = x0s.dtype
+    lo = jnp.broadcast_to(jnp.asarray(lb, dt), (horizon, action_dim))
+    hi = jnp.broadcast_to(jnp.asarray(ub, dt), (horizon, action_dim))
+    mid, span = 0.5 * (lo + hi), 0.5 * (hi - lo)
+    draws = jax.random.uniform(
+        key, (k - 1, b, horizon, action_dim), dt, -1.0, 1.0)
+    starts = jnp.concatenate(
+        [jnp.zeros((1, b, horizon, action_dim), dt),
+         mid + start_scale * span * draws], axis=0)          # (K, B, H, da)
+
+    u_cand = starts.reshape(k * b, horizon, action_dim)
+    if surrogate_mode == 'mean':
+        u_cand = solve_trajectory_batched(objective_surrogate, u_cand,
+                                          lb, ub, surrogate).u
+    elif surrogate_mode == 'frozen':
+        for _ in range(frozen_rounds):
+            _, covs = rollout_batched(cache, x0s_k, u_cand, delta=delta)
+            cov_d = jax.lax.stop_gradient(
+                jnp.diagonal(covs, axis1=2, axis2=3))        # (KB, H+1, ds)
+
+            def objective_frozen(u, cov_d=cov_d):
+                means, cv = rollout_batched(cache, x0s_k, u, delta=delta,
+                                            frozen_cov_diag=cov_d)
+                return cost_k(params_k, means, cv, u)
+
+            u_cand = solve_trajectory_batched(objective_frozen, u_cand,
+                                              lb, ub, surrogate).u
+    else:
+        raise ValueError(f'unknown surrogate_mode {surrogate_mode!r}')
+    # Score the K candidates per scenario under the full objective.
+    j_full = objective_full_k(u_cand).reshape(k, b)          # (K, B)
+    best = jnp.argmin(j_full, axis=0)                        # (B,)
+    u0 = u_cand.reshape(k, b, horizon, action_dim)[
+        best, jnp.arange(b)]                                 # (B, H, da)
+
+    params_axes = _params_axes(params, b)
+    cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
+
+    def objective_full(u):
+        means, covs = rollout_batched(cache, x0s, u, delta=delta)
+        return cost_b(params, means, covs, u)
+
+    return solve_trajectory_batched(objective_full, u0, lb, ub, solver)
+
+
 def _gather_params(params: CostParams, b: int, idx) -> CostParams:
     """Gather the per-scenario ((B,)-leading) leaves of `params` at `idx`;
     shared leaves pass through."""
@@ -154,8 +283,7 @@ def solve_batch_staged(gp: GPState, state_dim: int, action_dim: int,
 
     b = x0s.shape[0]
     chunk = max(1, b // tail_divisor)
-    s1 = SolverConfig(method=solver.method, max_iters=budget1,
-                      tol=solver.tol, history=solver.history)
+    s1 = solver.replace(max_iters=budget1)
     res1 = solve_batch(gp, state_dim, action_dim, x0s, params, horizon,
                        lb, ub, s1, full_cov=full_cov, delta=delta)
     conv = np.asarray(res1.converged)
@@ -169,9 +297,7 @@ def solve_batch_staged(gp: GPState, state_dim: int, action_dim: int,
     pg = np.array(res1.pg_norm)
     conv_out = conv.copy()
 
-    s2 = SolverConfig(method=solver.method,
-                      max_iters=budget_total - budget1,
-                      tol=solver.tol, history=solver.history)
+    s2 = solver.replace(max_iters=budget_total - budget1)
     # Pad the tail to a whole number of chunks by repeating the first
     # unconverged lane: duplicates recompute the same deterministic result.
     n_pad = (-todo.size) % chunk
