@@ -72,11 +72,16 @@ def run_shape(b, n, d, e, seed=0):
         an = np.asarray(aj, np.float64)
         return float(np.max(np.abs(an - a64) / (1e-3 + np.abs(a64))))
 
-    # forward
+    # forward — NOTE the fresh lambda wrappers: jax.jit keeps a global trace
+    # cache keyed on the wrapped callable, so jitting the module-level
+    # custom_vjp objects directly would reuse the first mode's trace and
+    # silently ignore the GPMPC_SYM_KERNEL switch between modes.
     res['fwd_tied'] = relerr(
-        jax.jit(vt.variance_trace_batched_tied)(uj, m2j, xj, blj), t64_tied)
+        jax.jit(lambda *a: vt.variance_trace_batched_tied(*a))(
+            uj, m2j, xj, blj), t64_tied)
     res['fwd_untied'] = relerr(
-        jax.jit(vt.variance_trace_batched)(uj, m2ej, xj, blj), t64_untied)
+        jax.jit(lambda *a: vt.variance_trace_batched(*a))(
+            uj, m2ej, xj, blj), t64_untied)
 
     # VJP vs f64 central finite differences of the f64 oracle (on u only;
     # du is the gradient the solver consumes).

@@ -303,11 +303,18 @@ def _btile_streamed(b: int, n: int, tj: int, e: int, w1: int) -> int:
 
 
 def _use_sym() -> bool:
-    # Opt-in while the off-diagonal mirror path's accuracy regression vs the
-    # column-sweep kernel is being chased (see round-3 notes): the composite
-    # tied path measures ~2e-2 relative on the trace while every isolated
-    # piece (diag pairs, lone off-diag pair with simplified operands, both
-    # dot forms standalone) reproduces the oracle at ~1e-5.
+    # Opt-in (GPMPC_SYM_KERNEL=1). ACCURACY is settled: the regression that
+    # haunted this kernel in round 3 was the XLA prep einsum feeding the
+    # exponent running at DEFAULT matmul precision (bf16 operand rounding)
+    # whenever the caller was outside moments.py's f32-precision scope — fixed
+    # for all paths by the exact _vpu_mm prep; with it the pair kernel matches
+    # the f64 oracle at ~4e-4 on the trace and ~1e-4 on gradients, same level
+    # as the column sweep (benchmarks/results/KERNEL_TPU_r03.json). It stays
+    # opt-in on SPEED: at the headline shape (B=256, N=256) it measures ~3x
+    # SLOWER than the streamed column sweep (346 vs 1031 solves/s end to end)
+    # — the resident (bt, E, nt, W1, T) accumulator with per-pair dynamic
+    # stores, two MXU reductions per pair, and the doubled comb views cost far
+    # more than the (nt+1)/2nt exp saving buys at these sizes.
     import os
     return os.environ.get('GPMPC_SYM_KERNEL') == '1'
 
@@ -438,11 +445,12 @@ def _prep_sym(u, m2, x, batched_m2_axes: int):
     m2 axes: (B, d, d) tied / (B, E, d, d) untied. Returns (a, z, dvec)."""
     a = u[:, None, :] - x[None]                    # (B, N, d)
     low = jnp.linalg.cholesky(m2)                  # M2 = L L^T (PD by constr.)
+    # z feeds the in-kernel exp chain — exact-f32 VPU prep, see _vpu_mm.
     if batched_m2_axes == 1:
-        z = jnp.einsum('bnd,bdk->bnk', a, low)     # z_i = L^T a_i
+        z = _vpu_mm(a, low[:, None])               # (B, N, d)
         q = jnp.sum(z * z, axis=-1)                # (B, N)
     else:
-        z = jnp.einsum('bnd,bedk->benk', a, low)   # (B, E, N, d)
+        z = _vpu_mm(a[:, None], low[:, :, None])   # (B, E, N, d)
         q = jnp.sum(z * z, axis=-1)                # (B, E, N)
     return a, z, jnp.exp(-0.125 * q)
 
@@ -576,16 +584,40 @@ def _aug(a):
                            axis=-1)
 
 
+def _vpu_mm(a, m):
+    """a (..., N, d) @ m (..., d, k) for TINY d, k (<= 8) as unrolled VPU
+    broadcast-sums — EXACT f32.
+
+    The result feeds exp(-p/4) with |p| up to ~20, so DEFAULT's bf16 MXU
+    operand rounding (~2^-8 relative) amplifies to PERCENT-level trace errors
+    whenever the caller is not already under
+    default_matmul_precision('float32') (measured 4% on the round-3 on-TPU
+    oracle). precision=HIGHEST fixes accuracy but pads d and k to 128-lane
+    MXU tiles and runs 6 passes on the padded shape — measured ~9% off the
+    whole headline solve. The unrolled form is exact, unpadded, and fuses.
+    Callers pass m with a singleton where a has its N axis (e.g. a (B, N, d)
+    with m (B, 1, d, k); a (B, 1, N, d) with m (B, E, 1, d, k)), so
+    m[..., j, kk] broadcasts against a[..., j] elementwise."""
+    d, k = m.shape[-2], m.shape[-1]
+    cols = []
+    for kk in range(k):
+        acc = a[..., 0] * m[..., 0, kk]
+        for j in range(1, d):
+            acc = acc + a[..., j] * m[..., j, kk]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
 def _prep_batched(u, m2, x):
     a = u[:, None, :] - x[None]                    # (B, N, d)
-    g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
+    g = _vpu_mm(a[:, None], m2[:, :, None])        # (B, E, N, d), exact f32
     q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
     return a, g, jnp.exp(-0.125 * q)
 
 
 def _prep_tied(u, m2, x):
     a = u[:, None, :] - x[None]                    # (B, N, d)
-    g = jnp.einsum('bnd,bdk->bnk', a, m2)          # (B, N, d)
+    g = _vpu_mm(a, m2[:, None])                    # (B, N, d), exact f32
     q = jnp.sum(g * a, axis=-1)                    # (B, N)
     return a, g, jnp.exp(-0.125 * q)
 
