@@ -96,6 +96,7 @@ class TestBatchedRollout:
         np.testing.assert_allclose(np.asarray(c_b), np.asarray(c_ref),
                                    rtol=1e-7, atol=1e-10)
 
+    @pytest.mark.slow
     def test_full_cov_gradients_match_vmap(self):
         gp, ds, da = _make_gp(seed=9)
         cache = build_rollout_cache(gp, ds, da)

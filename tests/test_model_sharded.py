@@ -86,7 +86,13 @@ def _problem(b=8):
 
 
 class TestSolveBatch2D:
-    @pytest.mark.parametrize('shape', [(2, 4), (4, 2), (8, 1)])
+    # One mesh shape stays in the default loop; the other two are slow-
+    # marked (each costs ~2 min of XLA CPU compile; same code path).
+    @pytest.mark.parametrize('shape', [
+        (2, 4),
+        pytest.param((4, 2), marks=pytest.mark.slow),
+        pytest.param((8, 1), marks=pytest.mark.slow),
+    ])
     def test_matches_unsharded_across_mesh_shapes(self, shape):
         gp, x0s, params = _problem()
         solver = SolverConfig(max_iters=15, tol=1e-6)
@@ -100,6 +106,7 @@ class TestSolveBatch2D:
         np.testing.assert_allclose(np.asarray(out.cost), np.asarray(ref.cost),
                                    rtol=1e-9, atol=1e-12)
 
+    @pytest.mark.slow
     def test_delta_mode(self):
         gp, x0s, params = _problem()
         solver = SolverConfig(max_iters=15, tol=1e-6)

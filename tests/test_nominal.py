@@ -45,6 +45,7 @@ def _residual_gp(n=40):
 
 
 class TestNominalRollout:
+    @pytest.mark.slow
     def test_one_step_vs_monte_carlo(self):
         """One rollout step with a nominal model vs a 300k-sample MC of
         f_nom(x*) + GP posterior at x* ~ N(u, S): mean within 2%, variance

@@ -50,6 +50,7 @@ def test_converged_field_reports_termination(small_problem):
     assert np.all(conv == (iters < 200))
 
 
+@pytest.mark.slow
 def test_staged_matches_full_budget_quality(small_problem):
     p = small_problem
     solver = SolverConfig(max_iters=160, tol=1e-5)
