@@ -15,15 +15,16 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.utils.accurate import exp_f32 as _exp
 from gpmpc_tpu.utils.linalg import sq_dists
 
 
 def se_kernel(x1: jax.Array, x2: jax.Array, log_lambdas: jax.Array,
               log_sigma_f: jax.Array) -> jax.Array:
     """Kernel value between two single points (D,). Mirrors gpr.py:124."""
-    inv_lam = jnp.exp(-log_lambdas)
+    inv_lam = _exp(-log_lambdas)
     d = x1 - x2
-    return jnp.exp(2.0 * log_sigma_f) * jnp.exp(-0.5 * jnp.sum(d * d * inv_lam))
+    return _exp(2.0 * log_sigma_f) * _exp(-0.5 * jnp.sum(d * d * inv_lam))
 
 
 def se_gram(x1: jax.Array, x2: jax.Array, log_lambdas: jax.Array,
@@ -34,10 +35,10 @@ def se_gram(x1: jax.Array, x2: jax.Array, log_lambdas: jax.Array,
     Euclidean one, so the whole Gram matrix is one matmul + exp
     (reference does the same via torch.cdist, gpr.py:167-169).
     """
-    inv_sqrt_lam = jnp.exp(-0.5 * log_lambdas)
+    inv_sqrt_lam = _exp(-0.5 * log_lambdas)
     a = x1 * inv_sqrt_lam
     b = x2 * inv_sqrt_lam
-    return jnp.exp(2.0 * log_sigma_f) * jnp.exp(-0.5 * sq_dists(a, b))
+    return _exp(2.0 * log_sigma_f) * _exp(-0.5 * sq_dists(a, b))
 
 
 # Batched over E independent outputs sharing the same inputs (the reference keeps

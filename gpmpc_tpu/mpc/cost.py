@@ -27,6 +27,7 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.utils.linalg import f32_matmul_precision
 from gpmpc_tpu.utils.smallchol import chol_small, solve_lower_small, solve_psd_small
 
 _PD_PENALTY = 1e6
@@ -84,6 +85,7 @@ def _stage_state_cost(Q, gamma, x, sig, x_ref):
     return jnp.where(is_zero, limit, general)
 
 
+@f32_matmul_precision
 def risk_sensitive_cost(params: CostParams, means: jax.Array, covs: jax.Array,
                         u: jax.Array) -> jax.Array:
     """means: (H+1, ds), covs: (H+1, ds, ds), u: (H, da) -> scalar."""

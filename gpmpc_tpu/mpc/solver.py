@@ -30,6 +30,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gpmpc_tpu.utils.linalg import f32_matmul_precision
+
 
 @struct.dataclass
 class SolverConfig:
@@ -98,6 +100,7 @@ def solve_trajectory(objective: Callable[[jax.Array], jax.Array],
     return _solve_adam(objective, u_init, lb, ub, config)
 
 
+@f32_matmul_precision
 def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult:
     """Projected L-BFGS: two-loop recursion over a fixed-size history with
     projected-Armijo backtracking — the jitted, vmappable equivalent of the
@@ -284,6 +287,7 @@ def _solve_lbfgs(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult
                        pg_norm=pg_res(u, g), converged=done)
 
 
+@f32_matmul_precision
 def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
                              u_init: jax.Array, lb, ub,
                              config: SolverConfig = SolverConfig(),
@@ -489,6 +493,7 @@ def solve_trajectory_batched(objective_b: Callable[[jax.Array], jax.Array],
                        pg_norm=pg_res(u, g), converged=done)
 
 
+@f32_matmul_precision
 def _solve_adam(objective, u_init, lb, ub, config: SolverConfig) -> SolveResult:
     dt = u_init.dtype
     lb = jnp.broadcast_to(jnp.asarray(lb, dt), u_init.shape)

@@ -28,6 +28,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from gpmpc_tpu.utils.accurate import exp_f32 as _exp
 from gpmpc_tpu.utils.linalg import f32_matmul_precision, sq_dists
 from gpmpc_tpu.utils.smallchol import logdet_psd_small as _logdet_psd
 from gpmpc_tpu.utils.smallchol import solve_psd_small as _solve_psd
@@ -44,13 +45,13 @@ def mean_prop(u, S, x, beta, log_lambdas, log_sigma_f, mask):
     det(Lambda^{-1} S + I) is evaluated as det(S + Lambda) / det(Lambda) in log
     space. Returns (m, l) — l is reused by variance_prop.
     """
-    lam = jnp.exp(log_lambdas)
+    lam = _exp(log_lambdas)
     spl = S + jnp.diag(lam)
     diff = u[None, :] - x                      # (N, d)
     sol = _solve_psd(spl, diff.T)              # (d, N)
     q = jnp.sum(diff.T * sol, axis=0)          # (N,)
     log_det_corr = -0.5 * (_logdet_psd(spl) - jnp.sum(log_lambdas))
-    l = jnp.exp(2.0 * log_sigma_f + log_det_corr - 0.5 * q) * mask.astype(q.dtype)
+    l = _exp(2.0 * log_sigma_f + log_det_corr - 0.5 * q) * mask.astype(q.dtype)
     return jnp.dot(beta, l), l
 
 
@@ -65,7 +66,7 @@ def input_output_cov(u, S, x, beta, l, log_lambdas):
     entirely, dynamics.py:184-188; this term is what makes delta-dynamics
     propagation exact). `l` is the weight vector returned by mean_prop.
     """
-    lam = jnp.exp(log_lambdas)
+    lam = _exp(log_lambdas)
     spl = S + jnp.diag(lam)
     diff = x - u[None, :]                      # (N, d)
     w = jnp.sum(beta[:, None] * l[:, None] * diff, axis=0)   # (d,)
@@ -83,12 +84,12 @@ class VarianceCache(NamedTuple):
 
 @f32_matmul_precision
 def make_variance_cache(x, beta, kinv, log_lambdas, log_sigma_f, mask) -> VarianceCache:
-    inv_sqrt_lam = jnp.exp(-0.5 * log_lambdas)
+    inv_sqrt_lam = _exp(-0.5 * log_lambdas)
     xs = x * inv_sqrt_lam
-    lam_part = jnp.exp(-0.25 * sq_dists(xs, xs))
+    lam_part = _exp(-0.25 * sq_dists(xs, xs))
     m = mask.astype(x.dtype)
     b = kinv - jnp.outer(beta, beta)
-    b_lam = b * lam_part * jnp.exp(4.0 * log_sigma_f) * (m[:, None] * m[None, :])
+    b_lam = b * lam_part * _exp(4.0 * log_sigma_f) * (m[:, None] * m[None, :])
     return VarianceCache(b_lam=b_lam)
 
 
@@ -113,7 +114,7 @@ def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f
     GP draws, compat predictions) have per-call b_lam operands the
     shared-blam kernels cannot serve anyway.
     """
-    lam = jnp.exp(log_lambdas)
+    lam = _exp(log_lambdas)
     hls = jnp.diag(lam / 2.0) + S
     # Exponent -1/8 (q_i + 2 p_ij + q_j) separates into
     # d^T (b_lam o exp(-p/4)) d with d_i = exp(-q_i / 8).
@@ -121,13 +122,13 @@ def variance_prop_cached(u, S, x, cache: VarianceCache, log_lambdas, log_sigma_f
     g = _solve_psd(hls, diff.T).T          # (N, d) = diff (Lam/2 + S)^{-1}
     p = diff @ g.T                         # (N, N) — MXU
     q = jnp.sum(g * diff, axis=1)          # diag of p
-    d_vec = jnp.exp(-0.125 * q)
-    be = cache.b_lam * jnp.exp(-0.25 * p)
+    d_vec = _exp(-0.125 * q)
+    be = cache.b_lam * _exp(-0.25 * p)
     t = d_vec @ be @ d_vec
     # det(2 Lambda^{-1} S + I) = det(Lambda/2 + S) / det(Lambda/2)
     log_det_part = -0.5 * (_logdet_psd(hls) - jnp.sum(log_lambdas - jnp.log(2.0)))
-    trace_term = jnp.exp(log_det_part) * t
-    return jnp.exp(2.0 * log_sigma_f) - trace_term - mean ** 2
+    trace_term = _exp(log_det_part) * t
+    return _exp(2.0 * log_sigma_f) - trace_term - mean ** 2
 
 
 def variance_prop(u, S, x, beta, kinv, log_lambdas, log_sigma_f, mask, mean):
@@ -148,7 +149,7 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
     are the batched twins below; single solves route through them with B=1.
     """
     d = x.shape[1]
-    lam = jnp.exp(log_lambdas)                              # (E, d)
+    lam = _exp(log_lambdas)                              # (E, d)
     eye = jnp.eye(d, dtype=x.dtype)
     hls = (lam / 2.0)[:, :, None] * eye[None] + S[None]     # (E, d, d)
     log_det_part = -0.5 * (_logdet_psd(hls)
@@ -159,11 +160,11 @@ def variance_prop_multi(u, S, x, b_lam, log_lambdas, log_sigma_f, means):
         g = _solve_psd(hls_e, diff.T).T
         p = diff @ g.T
         q = jnp.sum(g * diff, axis=1)
-        d_vec = jnp.exp(-0.125 * q)
-        return d_vec @ (blam_e * jnp.exp(-0.25 * p)) @ d_vec
+        d_vec = _exp(-0.125 * q)
+        return d_vec @ (blam_e * _exp(-0.25 * p)) @ d_vec
     t = jax.vmap(one)(hls, b_lam)
 
-    return jnp.exp(2.0 * log_sigma_f) - jnp.exp(log_det_part) * t - means ** 2
+    return _exp(2.0 * log_sigma_f) - _exp(log_det_part) * t - means ** 2
 
 
 @f32_matmul_precision
@@ -193,7 +194,7 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
     if the function is differentiated w.r.t. hyperparameters directly; use
     tied=False there.
     """
-    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    lam = _exp(log_lambdas)                                  # (E, d)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
     if tied:
         # Row mean, not row 0: values are equal by the tied invariant, and the
@@ -203,9 +204,9 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
         q0 = jnp.einsum('bnd,bd->bn', diff * diff, 1.0 / spl0)  # (B, N)
         log_det0 = -0.5 * (jnp.sum(jnp.log(spl0), axis=-1)
                            - jnp.sum(jnp.mean(log_lambdas, axis=0)))  # (B,)
-        l0 = jnp.exp(log_det0[:, None] - 0.5 * q0)              # (B, N)
+        l0 = _exp(log_det0[:, None] - 0.5 * q0)              # (B, N)
         l0 = l0 * mask.astype(l0.dtype)
-        sf2 = jnp.exp(2.0 * log_sigma_f)                        # (E,)
+        sf2 = _exp(2.0 * log_sigma_f)                        # (E,)
         means = jnp.einsum('en,bn->be', beta, l0) * sf2[None]
         l = sf2[None, :, None] * l0[:, None, :]                 # (B, E, N)
         return means, l
@@ -214,7 +215,7 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
     q = jnp.einsum('bnd,bed->ben', diff * diff, 1.0 / spl)      # (B, E, N)
     log_det_corr = -0.5 * (jnp.sum(jnp.log(spl), axis=-1)
                            - jnp.sum(log_lambdas, axis=-1)[None])   # (B, E)
-    l = jnp.exp(2.0 * log_sigma_f[None, :, None]
+    l = _exp(2.0 * log_sigma_f[None, :, None]
                 + log_det_corr[:, :, None] - 0.5 * q)
     l = l * mask.astype(l.dtype)
     return jnp.einsum('en,ben->be', beta, l), l
@@ -227,7 +228,7 @@ def input_output_cov_batched_diag(u, s_diag, x, beta, l, log_lambdas):
     u: (B, d); s_diag: (B, d); x: (N, d); beta: (E, N); l: (B, E, N);
     log_lambdas: (E, d) -> (B, E, d).
     """
-    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    lam = _exp(log_lambdas)                                  # (E, d)
     diff = x[None] - u[:, None, :]                              # (B, N, d)
     w = jnp.einsum('en,ben,bnd->bed', beta, l, diff)            # (B, E, d)
     scale = s_diag[:, None, :] / (s_diag[:, None, :] + lam[None])
@@ -249,7 +250,7 @@ def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
     from gpmpc_tpu.ops.pallas import variance_trace as _vt
 
     n, d = x.shape
-    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    lam = _exp(log_lambdas)                                  # (E, d)
     hls = (lam / 2.0)[None] + s_diag[:, None, :]                # (B, E, d)
     log_det_part = -0.5 * (jnp.sum(jnp.log(hls), axis=-1)
                            - jnp.sum(log_lambdas - jnp.log(2.0),
@@ -269,8 +270,8 @@ def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
         else:
             t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
 
-    return (jnp.exp(2.0 * log_sigma_f)[None]
-            - jnp.exp(log_det_part) * t - means ** 2)
+    return (_exp(2.0 * log_sigma_f)[None]
+            - _exp(log_det_part) * t - means ** 2)
 
 
 @f32_matmul_precision
@@ -289,7 +290,7 @@ def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f,
     from gpmpc_tpu.ops.pallas import variance_trace as _vt
 
     n, d = x.shape
-    lam = jnp.exp(log_lambdas)                              # (E, d)
+    lam = _exp(log_lambdas)                              # (E, d)
     eye = jnp.eye(d, dtype=x.dtype)
 
     if tied:
@@ -303,8 +304,8 @@ def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f,
             t = _vt.variance_trace_batched_tied(u, m2, x, b_lam)
         else:
             t = _vt.variance_trace_batched_tied_reference(u, m2, x, b_lam)
-        return (jnp.exp(2.0 * log_sigma_f)[None]
-                - jnp.exp(log_det_part) * t - means ** 2)
+        return (_exp(2.0 * log_sigma_f)[None]
+                - _exp(log_det_part) * t - means ** 2)
 
     # (B, E, d, d) = Lambda_e / 2 + S_b
     hls = (lam / 2.0)[None, :, :, None] * eye + S[:, None]
@@ -318,8 +319,8 @@ def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f,
         m2 = _solve_psd(hls, jnp.broadcast_to(eye, hls.shape))
         t = _vt.variance_trace_batched_reference(u, m2, x, b_lam)
 
-    return (jnp.exp(2.0 * log_sigma_f)[None]
-            - jnp.exp(log_det_part) * t - means ** 2)
+    return (_exp(2.0 * log_sigma_f)[None]
+            - _exp(log_det_part) * t - means ** 2)
 
 
 @f32_matmul_precision
@@ -335,7 +336,7 @@ def mean_prop_batched(u, S, x, beta, log_lambdas, log_sigma_f, mask,
     tied=True shares the (S + Lambda) solve and the exp chain across outputs
     (same value contract and gradient caveat as mean_prop_batched_diag).
     """
-    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    lam = _exp(log_lambdas)                                  # (E, d)
     d = u.shape[-1]
     eye = jnp.eye(d, dtype=u.dtype)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
@@ -347,8 +348,8 @@ def mean_prop_batched(u, S, x, beta, log_lambdas, log_sigma_f, mask,
         q0 = jnp.einsum('bnd,bdn->bn', diff, sol)               # (B, N)
         log_det0 = -0.5 * (jax.vmap(_logdet_psd)(spl)
                            - jnp.sum(jnp.mean(log_lambdas, axis=0)))
-        l0 = jnp.exp(log_det0[:, None] - 0.5 * q0) * mask.astype(u.dtype)
-        sf2 = jnp.exp(2.0 * log_sigma_f)                        # (E,)
+        l0 = _exp(log_det0[:, None] - 0.5 * q0) * mask.astype(u.dtype)
+        sf2 = _exp(2.0 * log_sigma_f)                        # (E,)
         means = jnp.einsum('en,bn->be', beta, l0) * sf2[None]
         return means, sf2[None, :, None] * l0[:, None, :]
     spl = S[:, None] + (lam[..., None] * eye)[None]             # (B, E, d, d)
@@ -357,7 +358,7 @@ def mean_prop_batched(u, S, x, beta, log_lambdas, log_sigma_f, mask,
     q = jnp.einsum('bnd,bedn->ben', diff, sol)                  # (B, E, N)
     log_det = -0.5 * (_logdet_psd(spl)
                       - jnp.sum(log_lambdas, axis=-1)[None])    # (B, E)
-    l = jnp.exp(2.0 * log_sigma_f[None, :, None]
+    l = _exp(2.0 * log_sigma_f[None, :, None]
                 + log_det[..., None] - 0.5 * q) * mask.astype(u.dtype)
     return jnp.einsum('en,ben->be', beta, l), l
 
@@ -369,7 +370,7 @@ def input_output_cov_batched(u, S, x, beta, l, log_lambdas):
 
     u: (B, d); S: (B, d, d); x: (N, d); beta: (E, N); l: (B, E, N) -> (B, E, d).
     """
-    lam = jnp.exp(log_lambdas)                                  # (E, d)
+    lam = _exp(log_lambdas)                                  # (E, d)
     d = u.shape[-1]
     eye = jnp.eye(d, dtype=u.dtype)
     diff = x[None] - u[:, None, :]                              # (B, N, d)
@@ -405,27 +406,27 @@ def covariance_prop_multi_batched(u, S, x, beta, log_lambdas, log_sigma_f,
     diff = x[None] - u[:, None, :]                              # (B, N, d)
 
     if tied:
-        lam_inv = jnp.exp(-jnp.mean(log_lambdas, axis=0))       # (d,)
+        lam_inv = _exp(-jnp.mean(log_lambdas, axis=0))       # (d,)
         z = diff * lam_inv                                      # (B, N, d)
         # R = S Lam* + I with Lam* = 2 Lambda^{-1}; A = R^{-1} S (symmetric).
         r = S * (2.0 * lam_inv)[None, None, :] + eye            # (B, d, d)
         a_mat = jnp.linalg.solve(r, S)                          # (B, d, d)
         _, logabsdet = jnp.linalg.slogdet(r)
-        det_part = jnp.exp(-0.5 * logabsdet)                    # (B,)
+        det_part = _exp(-0.5 * logabsdet)                    # (B,)
         za = jnp.einsum('bnd,bdk->bnk', z, a_mat)               # (B, N, d)
         q = jnp.sum(za * z, axis=-1)                            # (B, N)
         p = jnp.einsum('bnk,bmk->bnm', za, z)                   # (B, N, N)
         # k_i = exp(-1/2 d_i^2); fold with e^{q_i/2} into one weight vector.
         d2 = jnp.sum(diff * diff * lam_inv[None, None, :], axis=-1)
-        dv = jnp.exp(0.5 * (q - d2)) * m[None]                  # (B, N)
-        sf2 = jnp.exp(2.0 * log_sigma_f)                        # (E,)
+        dv = _exp(0.5 * (q - d2)) * m[None]                  # (B, N)
+        sf2 = _exp(2.0 * log_sigma_f)                        # (E,)
         bd = beta[None] * dv[:, None, :]                        # (B, E, N)
-        quad = jnp.einsum('ben,bnm,bfm->bef', bd, jnp.exp(p), bd)
+        quad = jnp.einsum('ben,bnm,bfm->bef', bd, _exp(p), bd)
         c = det_part[:, None, None] * quad * (sf2[:, None] * sf2[None])[None]
         return c - means[:, :, None] * means[:, None, :]
 
     # Untied: per-pair A matrices; vmap over the (E, E) pair grid.
-    lam_inv = jnp.exp(-log_lambdas)                             # (E, d)
+    lam_inv = _exp(-log_lambdas)                             # (E, d)
 
     def pair(li1, li2, b1, b2, lsf1, lsf2, m1, m2):
         # All operands carry the leading scenario batch B.
@@ -434,18 +435,18 @@ def covariance_prop_multi_batched(u, S, x, beta, log_lambdas, log_sigma_f,
         r = S * (li1 + li2)[None, None, :] + eye                # (B, d, d)
         a_mat = jnp.linalg.solve(r, S)
         _, logabsdet = jnp.linalg.slogdet(r)
-        det_part = jnp.exp(-0.5 * logabsdet)
+        det_part = _exp(-0.5 * logabsdet)
         z1a = jnp.einsum('bnd,bdk->bnk', z1, a_mat)
         q1 = jnp.sum(z1a * z1, axis=-1)                         # (B, N)
         q2 = jnp.sum(jnp.einsum('bnd,bdk->bnk', z2, a_mat) * z2, axis=-1)
         cross = jnp.einsum('bnk,bmk->bnm', z1a, z2)             # (B, N, N)
-        k1 = jnp.exp(2.0 * lsf1
+        k1 = _exp(2.0 * lsf1
                      - 0.5 * jnp.sum(diff * diff * li1, axis=-1))
-        k2 = jnp.exp(2.0 * lsf2
+        k2 = _exp(2.0 * lsf2
                      - 0.5 * jnp.sum(diff * diff * li2, axis=-1))
-        w1 = b1[None] * k1 * jnp.exp(0.5 * q1) * m[None]        # (B, N)
-        w2 = b2[None] * k2 * jnp.exp(0.5 * q2) * m[None]
-        quad = jnp.einsum('bn,bnm,bm->b', w1, jnp.exp(cross), w2)
+        w1 = b1[None] * k1 * _exp(0.5 * q1) * m[None]        # (B, N)
+        w2 = b2[None] * k2 * _exp(0.5 * q2) * m[None]
+        quad = jnp.einsum('bn,bnm,bm->b', w1, _exp(cross), w2)
         return det_part * quad - m1 * m2
 
     e = beta.shape[0]
@@ -470,8 +471,8 @@ def covariance_prop(u, S, x, beta1, beta2, log_lambdas1, log_lambdas2,
     with Lam* = Lambda1^{-1} + Lambda2^{-1}, z_k = Lambda_k^{-1} (x - u),
     A = (S Lam* + I)^{-1} S  (symmetric by the push-through identity).
     """
-    lam1_inv = jnp.exp(-log_lambdas1)
-    lam2_inv = jnp.exp(-log_lambdas2)
+    lam1_inv = _exp(-log_lambdas1)
+    lam2_inv = _exp(-log_lambdas2)
     d = u.shape[0]
     diff = x - u[None, :]                      # (N, d)
     z1 = diff * lam1_inv                       # (N, d)
@@ -480,15 +481,15 @@ def covariance_prop(u, S, x, beta1, beta2, log_lambdas1, log_lambdas2,
     r = S * (lam1_inv + lam2_inv)[None, :] + jnp.eye(d, dtype=u.dtype)
     a = jnp.linalg.solve(r, S)                 # (d, d), symmetric
     _, logabsdet = jnp.linalg.slogdet(r)
-    det_part = jnp.exp(-0.5 * logabsdet)
+    det_part = _exp(-0.5 * logabsdet)
 
     q1 = jnp.sum((z1 @ a) * z1, axis=1)        # (N,)
     q2 = jnp.sum((z2 @ a) * z2, axis=1)
     cross = z1 @ a @ z2.T                      # (N, N) — MXU
-    exp_part = jnp.exp(0.5 * (q1[:, None] + 2.0 * cross + q2[None, :]))
+    exp_part = _exp(0.5 * (q1[:, None] + 2.0 * cross + q2[None, :]))
 
-    k1 = jnp.exp(2.0 * log_sigma_f1 - 0.5 * jnp.sum(diff * diff * lam1_inv, axis=1))
-    k2 = jnp.exp(2.0 * log_sigma_f2 - 0.5 * jnp.sum(diff * diff * lam2_inv, axis=1))
+    k1 = _exp(2.0 * log_sigma_f1 - 0.5 * jnp.sum(diff * diff * lam1_inv, axis=1))
+    k2 = _exp(2.0 * log_sigma_f2 - 0.5 * jnp.sum(diff * diff * lam2_inv, axis=1))
     m = mask.astype(u.dtype)
     qt = det_part * (k1 * m)[:, None] * (k2 * m)[None, :] * exp_part
     return beta1 @ qt @ beta2 - mean1 * mean2

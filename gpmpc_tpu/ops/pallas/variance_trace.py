@@ -36,6 +36,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gpmpc_tpu.utils.accurate import exp_f32 as _exp
+from gpmpc_tpu.utils.linalg import f32_matmul_precision
+
 
 def _interpret() -> bool:
     """Interpreter mode off-TPU so the kernels stay testable on CPU."""
@@ -48,8 +51,8 @@ def variance_trace_reference(u, m2, x, blam):
     g = a @ m2
     p = g @ a.T
     q = jnp.sum(g * a, axis=1)
-    dvec = jnp.exp(-0.125 * q)
-    return dvec @ (blam * jnp.exp(-0.25 * p)) @ dvec
+    dvec = _exp(-0.125 * q)
+    return dvec @ (blam * _exp(-0.25 * p)) @ dvec
 
 
 # ===================================================================
@@ -151,12 +154,30 @@ def _split_bf16(v):
     return hi, v - hi
 
 
+def _dot_mode() -> str:
+    """In-kernel contraction arithmetic for the W reductions (the exp-chain
+    operand W = blam o exp is cancellation-amplified: sum|W_ij AO_j| / |rw|
+    reaches 10^2-10^3 on the headline GP, so contraction rounding is the
+    accuracy floor of the whole variance path once exp is exact —
+    utils/accurate.py):
+      bf16x3   3 DEFAULT passes, lo-term rounding ~2^-16 rel (fastest)
+      highest  Mosaic precision=HIGHEST (6 passes, true f32 products)
+    Default 'highest': measured within ~1.5% end-to-end of bf16x3 on the
+    headline solve (the kernel is VPU/exp-bound, the extra MXU passes hide)
+    while cutting the forward trace error ~20x (KERNEL_TPU_r03 artifact)."""
+    import os
+    return os.environ.get('GPMPC_KERNEL_DOT', 'highest')
+
+
 def _dot3(w, ao_hi, ao_lo):
-    """W @ AO as a manual bf16x3 split: 3 DEFAULT MXU passes instead of
-    HIGHEST's 6 (Mosaic rejects precision=HIGH), max rel err ~3e-5 at the
-    headline shape vs HIGHEST's ~1e-5 (benchmarks/kernel_probe: 487 -> 384
-    us/call). The hi parts are exactly bf16-representable, so DEFAULT's
-    operand rounding only touches the lo terms (error ~2^-16 relative)."""
+    """W @ AO: bf16x3 manual split (3 DEFAULT MXU passes) or one HIGHEST
+    dot per _dot_mode(). For bf16x3 the hi parts are exactly
+    bf16-representable, so DEFAULT's operand rounding only touches the lo
+    terms (error ~2^-16 relative) — see _dot_mode for why that is no longer
+    the default."""
+    if _dot_mode() == 'highest':
+        return jnp.dot(w, ao_hi + ao_lo, preferred_element_type=jnp.float32,
+                       precision=_HI)
     w_hi, w_lo = _split_bf16(w)
     return (jnp.dot(w_hi, ao_hi, preferred_element_type=jnp.float32,
                     precision=_DEF)
@@ -195,8 +216,11 @@ def _rw_call(g, a, dvec, ao, blam):
 def _dot3_t(ao_hi, ao_lo, w):
     """(W1, N) = AOD^T @ W for AOD (TJ, W1), W (TJ, N) — contraction over
     dim 0 of both via dot_general (no explicit transposes, which Mosaic
-    relayouts poorly), bf16x3 split as _dot3."""
+    relayouts poorly); arithmetic per _dot_mode (see _dot3)."""
     dn = (((0,), (0,)), ((), ()))
+    if _dot_mode() == 'highest':
+        return jax.lax.dot_general(ao_hi + ao_lo, w, dn, precision=_HI,
+                                   preferred_element_type=jnp.float32)
     w_hi, w_lo = _split_bf16(w)
 
     def dg(x, y):
@@ -243,7 +267,7 @@ def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
             p_t = comb[:, 0:1] * gt_ref[k, 0:1, :]
             for kk in range(1, d):
                 p_t += comb[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
-            emat_t = jnp.exp(-0.25 * p_t)                         # (TJ, N)
+            emat_t = _exp(-0.25 * p_t)                         # (TJ, N)
             ao_hi, ao_lo = _split_bf16(comb[:, d:])               # (TJ, W1)
             for e in range(e_total):
                 w = blam_ref[e] * emat_t                          # (TJ, N)
@@ -321,8 +345,11 @@ def _use_sym() -> bool:
 
 def _dot3_t2(ao_hi, ao_lo, w):
     """(W1, T_J) = AOD_I^T @ W^T for AOD (T_I, W1), W (T_J, T_I) — contraction
-    over dim 0 of AOD and dim 1 of W, bf16x3 split as _dot3."""
+    over dim 0 of AOD and dim 1 of W; arithmetic per _dot_mode (see _dot3)."""
     dn = (((0,), (1,)), ((), ()))
+    if _dot_mode() == 'highest':
+        return jax.lax.dot_general(ao_hi + ao_lo, w, dn, precision=_HI,
+                                   preferred_element_type=jnp.float32)
     w_hi, w_lo = _split_bf16(w)
 
     def dg(x, y):
@@ -375,7 +402,7 @@ def _make_rw_sym_kernel(btile: int, e_total: int, d: int, w1: int,
                 p_t = comb_j[:, z0:z0 + 1] * zt[0:1, :]
                 for kk in range(1, d):
                     p_t += comb_j[:, z0 + kk:z0 + kk + 1] * zt[kk:kk + 1, :]
-                return jnp.exp(-0.25 * p_t)                  # (T_J, T_I)
+                return _exp(-0.25 * p_t)                  # (T_J, T_I)
 
             if shared_chain:
                 emat = chain(0, zt_ref[k])
@@ -452,7 +479,7 @@ def _prep_sym(u, m2, x, batched_m2_axes: int):
     else:
         z = _vpu_mm(a[:, None], low[:, :, None])   # (B, E, N, d)
         q = jnp.sum(z * z, axis=-1)                # (B, E, N)
-    return a, z, jnp.exp(-0.125 * q)
+    return a, z, _exp(-0.125 * q)
 
 
 def _rw_call_sym(z, a, dvec, ao, blam, shared_chain: bool):
@@ -612,14 +639,14 @@ def _prep_batched(u, m2, x):
     a = u[:, None, :] - x[None]                    # (B, N, d)
     g = _vpu_mm(a[:, None], m2[:, :, None])        # (B, E, N, d), exact f32
     q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
-    return a, g, jnp.exp(-0.125 * q)
+    return a, g, _exp(-0.125 * q)
 
 
 def _prep_tied(u, m2, x):
     a = u[:, None, :] - x[None]                    # (B, N, d)
     g = _vpu_mm(a, m2[:, None])                    # (B, N, d), exact f32
     q = jnp.sum(g * a, axis=-1)                    # (B, N)
-    return a, g, jnp.exp(-0.125 * q)
+    return a, g, _exp(-0.125 * q)
 
 
 def _rw_dispatch(u, m2, x, blam, tied: bool):
@@ -660,6 +687,7 @@ def _vtb_fwd(u, m2, x, blam):
     return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
 
 
+@f32_matmul_precision
 def _vtb_bwd(res, ct):
     u, m2, x, blam, rw = res
     a = u[:, None, :] - x[None]                    # (B, N, d)
@@ -690,6 +718,7 @@ def _vtt_fwd(u, m2, x, blam):
     return jnp.sum(rw[..., 0], axis=-1), (u, m2, x, blam, rw)
 
 
+@f32_matmul_precision
 def _vtt_bwd(res, ct):
     u, m2, x, blam, rw = res
     a = u[:, None, :] - x[None]                    # (B, N, d)
@@ -713,8 +742,8 @@ def variance_trace_batched_reference(u, m2, x, blam):
     g = jnp.einsum('bnd,bedk->benk', a, m2)        # (B, E, N, d)
     p = jnp.einsum('bend,bmd->benm', g, a)         # (B, E, N, N)
     q = jnp.sum(g * a[:, None], axis=-1)           # (B, E, N)
-    dvec = jnp.exp(-0.125 * q)
-    w = blam[None] * jnp.exp(-0.25 * p)
+    dvec = _exp(-0.125 * q)
+    w = blam[None] * _exp(-0.25 * p)
     return jnp.einsum('ben,benm,bem->be', dvec, w, dvec)
 
 
