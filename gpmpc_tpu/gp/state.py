@@ -257,7 +257,12 @@ def _factorize(state: GPState) -> GPState:
     """
     cfg = state.config
     dt_store = state.x.dtype
-    concrete = not isinstance(state.x, jax.core.Tracer)
+    # Concrete means EVERY factorization input is a concrete array — data,
+    # mask, and hyperparameters alike (hyperparameter training traces only the
+    # log-params while x stays concrete, so checking x alone is not enough).
+    concrete = not any(isinstance(v, jax.core.Tracer) for v in
+                       (state.x, state.y, state.mask, state.log_lambdas,
+                        state.log_sigma_f, state.log_sigma_n))
     if (cfg.fit_in_f64 and concrete and dt_store != jnp.float64
             and not jax.config.jax_enable_x64):
         # Eager call in a non-x64 process (the TPU production path): the f64

@@ -30,14 +30,32 @@ from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
 
 @functools.partial(jax.jit, static_argnames=(
     'state_dim', 'action_dim', 'solver_config', 'full_cov', 'has_r_delta',
-    'delta_dynamics'))
+    'delta_dynamics', 'solver_recipe', 'n_starts'))
 def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
            Q, R, R_delta, gamma, x_ref, u_ref, u_prev,
-           solver_config, full_cov, has_r_delta, delta_dynamics) -> SolveResult:
+           solver_config, full_cov, has_r_delta, delta_dynamics,
+           solver_recipe='single', n_starts=4) -> SolveResult:
     cache = build_rollout_cache(gp, state_dim, action_dim)
     params = CostParams(Q=Q, R=R, gamma=gamma, x_ref=x_ref, u_ref=u_ref,
                         R_delta=R_delta if has_r_delta else None,
                         u_prev=u_prev)
+
+    # Production quality recipe (VERDICT r3 item 5): route the single solve
+    # through the global-then-local multistart machinery so reference-parity
+    # paths (Simulator, experiments) get basin selection, not just the bench.
+    if (solver_recipe == 'multistart' and cache.nominal_fn is None
+            and not full_cov and solver_config.method == 'lbfgs'):
+        from gpmpc_tpu.parallel.batch import solve_batch_multistart
+        horizon = u_init.shape[0]
+        # u_prev gets an explicit (B=1, da) scenario axis: a shared (da,)
+        # leaf is ambiguous to the batch layer when da happens to equal B.
+        params_b = (params._replace(u_prev=u_prev[None])
+                    if params.u_prev is not None else params)
+        res = solve_batch_multistart(
+            gp, state_dim, action_dim, x0[None], params_b, horizon, lb, ub,
+            solver_config, n_starts=n_starts, delta=delta_dynamics)
+        return SolveResult(u=res.u[0], cost=res.cost[0], iters=res.iters[0],
+                           pg_norm=res.pg_norm[0])
 
     # Production single-solve routing: the explicitly-batched rollout/solver
     # pair with B = 1. Numerically identical to the single-scenario path, but
@@ -99,11 +117,21 @@ class RiskSensitiveMPC:
                  R_delta=None, capacity: int = 512,
                  solver: Optional[SolverConfig] = None,
                  full_cov: bool = False, dtype=jnp.float32,
-                 jitter: float = 0.0, delta_dynamics: bool = False):
+                 jitter: float = 0.0, delta_dynamics: bool = False,
+                 solver_recipe: str = 'single', n_starts: int = 4):
         """delta_dynamics=True learns state increments (x' = x + f(x, u)) and
         propagates the exact input-output covariance — substantially more
         accurate than the reference's raw next-state targets (see
-        gpmpc_tpu.dynamics); off by default for reference parity."""
+        gpmpc_tpu.dynamics); off by default for reference parity.
+
+        solver_recipe='multistart' runs every solve through the global-then-
+        local basin-selection recipe (parallel.batch.solve_batch_multistart,
+        `n_starts` starts) instead of a single cold-start descent — the
+        production quality configuration (measured: p90 cost excess vs the
+        f64 reference drops from ~36% to <1% on the headline workload; see
+        benchmarks/results/quality_ms_sweep.json). Requires the fused path
+        (L-BFGS, diagonal covariance, no nominal model); other configurations
+        fall back to 'single'."""
         self.gamma = float(gamma)
         self.horizon = int(horizon)
         self.state_dim = int(state_dim)
@@ -112,6 +140,8 @@ class RiskSensitiveMPC:
         self.full_cov = bool(full_cov)
         self.delta_dynamics = bool(delta_dynamics)
         self.solver_config = solver or SolverConfig()
+        self.solver_recipe = solver_recipe
+        self.n_starts = int(n_starts)
 
         self.Q = jnp.asarray(Q, dtype).reshape(state_dim, state_dim)
         self.R = jnp.asarray(R, dtype).reshape(input_dim, input_dim)
@@ -203,7 +233,7 @@ class RiskSensitiveMPC:
             jnp.asarray(self.gamma, dt), self.x_ref, self.u_ref,
             jnp.asarray(self.last_traj[0], dt),
             self.solver_config, self.full_cov, self.R_delta is not None,
-            self.delta_dynamics)
+            self.delta_dynamics, self.solver_recipe, self.n_starts)
         self.last_result = result
         u = np.asarray(result.u, np.float64)
         self.last_traj = u

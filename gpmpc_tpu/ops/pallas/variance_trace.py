@@ -31,10 +31,16 @@ Mosaic pitfalls baked into these kernels (do not "simplify" them away):
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Read once at import: traced programs bake the dot mode in, so honoring later
+# env mutations would only desynchronize new traces from the jit cache.
+_DOT_MODE = os.environ.get('GPMPC_KERNEL_DOT', 'highest')
 
 from gpmpc_tpu.utils.accurate import exp_f32 as _exp
 from gpmpc_tpu.utils.linalg import f32_matmul_precision
@@ -164,9 +170,13 @@ def _dot_mode() -> str:
       highest  Mosaic precision=HIGHEST (6 passes, true f32 products)
     Default 'highest': measured within ~1.5% end-to-end of bf16x3 on the
     headline solve (the kernel is VPU/exp-bound, the extra MXU passes hide)
-    while cutting the forward trace error ~20x (KERNEL_TPU_r03 artifact)."""
-    import os
-    return os.environ.get('GPMPC_KERNEL_DOT', 'highest')
+    while cutting the forward trace error ~20x (KERNEL_TPU_r03 artifact).
+
+    GPMPC_KERNEL_DOT is read ONCE at module import (frozen-config semantics):
+    traced programs bake the mode in, so honoring later env mutations would
+    only desynchronize new traces from the jit cache. Set it before importing
+    gpmpc_tpu."""
+    return _DOT_MODE
 
 
 def _dot3(w, ao_hi, ao_lo):

@@ -39,22 +39,29 @@ def _single_solve(cache: RolloutCache, params: CostParams, x0, u_init, lb, ub,
     return solve_trajectory(objective, u_init, lb, ub, solver)
 
 
-def _params_axes(params: CostParams, b: int) -> CostParams:
-    """Per-leaf vmap axes: 0 where a cost parameter carries a leading (B,)
-    scenario axis, None where it is shared."""
-    def axis_of(v):
-        if v is None:
-            return None
-        return 0 if (hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b) else None
+# Per-scenario leaves are detected by RANK, never by comparing shape[0] to B:
+# a leading-size test is ambiguous whenever a shared leaf's first dim happens
+# to equal B (e.g. B = 1, or da == B), which silently tiled/mapped the wrong
+# leaves. Canonical ranks: Q (ds, ds) | (B, ds, ds); gamma () | (B,);
+# x_ref/u_ref/u_prev (d,) | (B, d); R and R_delta are always shared.
+def _is_batched_leaves(params: CostParams) -> CostParams:
+    def rank_is(v, r):
+        return v is not None and hasattr(v, 'ndim') and v.ndim == r
 
     return CostParams(
-        Q=axis_of(params.Q) if params.Q.ndim == 3 else None,
-        R=None, gamma=axis_of(params.gamma),
-        x_ref=0 if params.x_ref.ndim == 2 else None,
-        u_ref=0 if params.u_ref.ndim == 2 else None,
-        R_delta=None,
-        u_prev=(0 if (params.u_prev is not None and params.u_prev.ndim == 2)
-                else None))
+        Q=rank_is(params.Q, 3), R=False,
+        gamma=rank_is(params.gamma, 1),
+        x_ref=rank_is(params.x_ref, 2), u_ref=rank_is(params.u_ref, 2),
+        R_delta=False, u_prev=rank_is(params.u_prev, 2))
+
+
+def _params_axes(params: CostParams, b: int = 0) -> CostParams:
+    """Per-leaf vmap axes: 0 where a cost parameter carries a leading (B,)
+    scenario axis (rank-detected), None where it is shared. `b` is unused
+    (kept for caller compatibility)."""
+    batched = _is_batched_leaves(params)
+    return jax.tree.map(lambda is_b: 0 if is_b else None, batched,
+                        is_leaf=lambda v: isinstance(v, bool))
 
 
 def solve_batch(gp: GPState, state_dim: int, action_dim: int,
@@ -112,15 +119,18 @@ def solve_batch(gp: GPState, state_dim: int, action_dim: int,
 
 
 def _tile_params(params: CostParams, b: int, k: int) -> CostParams:
-    """Tile the per-scenario ((B,)-leading) leaves of `params` k times along
-    the batch axis (for start-multiplexed super-batches); shared leaves pass
-    through."""
-    def leaf(v):
-        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
+    """Tile the per-scenario ((B,)-leading, rank-detected) leaves of `params`
+    k times along the batch axis (for start-multiplexed super-batches); shared
+    leaves pass through."""
+    batched = _is_batched_leaves(params)
+
+    def leaf(v, is_b):
+        if is_b:
             return jnp.tile(v, (k,) + (1,) * (v.ndim - 1))
         return v
 
-    return jax.tree.map(leaf, params, is_leaf=lambda v: v is None)
+    return jax.tree.map(leaf, params, batched,
+                        is_leaf=lambda v: v is None)
 
 
 def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
@@ -224,8 +234,13 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                                               lb, ub, surrogate).u
     else:
         raise ValueError(f'unknown surrogate_mode {surrogate_mode!r}')
-    # Score the K candidates per scenario under the full objective.
+    # Score the K candidates per scenario under the full objective. Finite
+    # guard: a candidate whose full-objective cost is NaN/inf (the surrogate
+    # can accept iterates outside the PD cone for extreme gamma) must never
+    # win the argmin — replace with +inf so any finite candidate beats it
+    # (u = 0 always evaluates finite on the reference-style workloads).
     j_full = objective_full_k(u_cand).reshape(k, b)          # (K, B)
+    j_full = jnp.where(jnp.isfinite(j_full), j_full, jnp.inf)
     best = jnp.argmin(j_full, axis=0)                        # (B,)
     u0 = u_cand.reshape(k, b, horizon, action_dim)[
         best, jnp.arange(b)]                                 # (B, H, da)
@@ -241,14 +256,15 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
 
 
 def _gather_params(params: CostParams, b: int, idx) -> CostParams:
-    """Gather the per-scenario ((B,)-leading) leaves of `params` at `idx`;
-    shared leaves pass through."""
-    def leaf(v):
-        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
-            return v[idx]
-        return v
+    """Gather the per-scenario ((B,)-leading, rank-detected) leaves of
+    `params` at `idx`; shared leaves pass through."""
+    batched = _is_batched_leaves(params)
 
-    return jax.tree.map(leaf, params, is_leaf=lambda v: v is None)
+    def leaf(v, is_b):
+        return v[idx] if is_b else v
+
+    return jax.tree.map(leaf, params, batched,
+                        is_leaf=lambda v: v is None)
 
 
 def solve_batch_staged(gp: GPState, state_dim: int, action_dim: int,
@@ -350,12 +366,9 @@ def solve_batch_sharded(mesh, gp: GPState, state_dim: int, action_dim: int,
     if b % n_dev != 0:
         raise ValueError(f"batch {b} not divisible by mesh axis size {n_dev}")
 
-    def leaf_spec(v):
-        if v is not None and hasattr(v, 'ndim') and v.ndim > 0 and v.shape[0] == b:
-            return P(axis)
-        return P()
-
-    params_spec = jax.tree.map(leaf_spec, params,
+    batched_leaves = _is_batched_leaves(params)
+    params_spec = jax.tree.map(lambda v, is_b: P(axis) if is_b else P(),
+                               params, batched_leaves,
                                is_leaf=lambda v: v is None)
     gp_spec = jax.tree.map(lambda _: P(), gp)
 

@@ -106,19 +106,41 @@ def run_episode_on_device(gp: gp_state.GPState,
                           solver: SolverConfig = SolverConfig(),
                           learn_online: bool = True,
                           full_cov: bool = False,
-                          delta_dynamics: bool = False):
+                          delta_dynamics: bool = False,
+                          solver_recipe: str = 'single',
+                          n_starts: int = 4):
     """Whole receding-horizon episode as one on-device scan.
 
     plant_step: (state (ds,), action (da,)) -> (next_state, reward), pure jnp.
     Returns (final GPState, dict of stacked per-step arrays). jit/vmap-able;
     wrap in jax.jit at the call site (see experiments and bench).
+
+    solver_recipe='multistart': every control step's cold solve runs the
+    global-then-local basin-selection recipe (`n_starts` starts; see
+    parallel.batch.solve_batch_multistart) instead of a single descent from
+    u = 0 — the production quality configuration. Requires the fused-path
+    conditions (L-BFGS, diagonal covariance); full_cov falls back to 'single'.
     """
     ds = params.Q.shape[0]
     da = params.R.shape[0]
+    use_ms = (solver_recipe == 'multistart' and not full_cov
+              and solver.method == 'lbfgs')
 
     def mpc_solve(gp_t, x, u_prev):
-        cache = build_rollout_cache(gp_t, ds, da)
         p = params._replace(u_prev=u_prev) if params.R_delta is not None else params
+
+        if use_ms:
+            from gpmpc_tpu.parallel.batch import solve_batch_multistart
+            # Explicit (B=1, da) axis on u_prev — a shared (da,) leaf is
+            # ambiguous to the batch layer when da happens to equal B.
+            if p.u_prev is not None and p.R_delta is not None:
+                p = p._replace(u_prev=p.u_prev[None])
+            res = solve_batch_multistart(gp_t, ds, da, x[None], p, horizon,
+                                         lb, ub, solver, n_starts=n_starts,
+                                         delta=delta_dynamics)
+            return jax.tree.map(lambda v: v[0], res)
+
+        cache = build_rollout_cache(gp_t, ds, da)
 
         def objective(u):
             means, covs = rollout(cache, x, u, full_cov=full_cov,

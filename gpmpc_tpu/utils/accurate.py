@@ -17,9 +17,10 @@ range-reduced degree-6 polynomial evaluated in exact f32 VPU mul/adds:
 
 with 2^k built by exponent-field bit assembly (TPU's `exp2` is ~4e-6
 relative even on INTEGER arguments, so it cannot be used here). Measured on
-this chip: max error 2.1 ulp over [-40, 0], ~7% slower than `jnp.exp` on a
-memory-bound exp+sum sweep. Inputs below the f32 underflow knee flush to 0,
-matching `jnp.exp` semantics; +inf/NaN propagate.
+this chip: ~2 ulp max over the GP-relevant [-40, 0] (~3 ulp over the full
+normal range), ~7% slower than `jnp.exp` on a memory-bound exp+sum sweep.
+Inputs below ln(f32 min normal) = -87.33 flush to 0 (`jnp.exp` returns
+subnormals down to ~-103; GP exponents never live there); +inf/NaN propagate.
 
 Reference role: the reference runs torch f64 on CPU (uncertainty_prop.py)
 and never faces this; this module is what makes the f32 TPU hot path match
@@ -35,10 +36,12 @@ import numpy as np
 _LOG2E = np.float32(1.4426950408889634)
 _LN2_HI = np.float32(0.693359375)        # 0x1.62ep-1: 11 mantissa bits, so
 _LN2_LO = np.float32(-2.12194440e-4)     # k * _LN2_HI is exact for |k| < 2^12
-# Degree-6 Taylor for e^r on r in [-ln2/2, ln2/2]; remainder < 1.6e-8.
+# Degree-6 Taylor for e^r on r in [-ln2/2, ln2/2]; remainder ~1.2e-7 absolute
+# (~8.4e-8 relative) at the interval ends. Measured: ~3 ulp max over [-86, 87]
+# on CPU; ~2 ulp over the GP-relevant [-40, 0] on this chip.
 _EXP_COEFFS = tuple(np.float32(c) for c in
                     (1.0 / 720, 1.0 / 120, 1.0 / 24, 1.0 / 6, 0.5, 1.0, 1.0))
-_UNDERFLOW_X = np.float32(-87.0)         # exp(-87) ~ 1.6e-38 ~ f32 tiny
+_UNDERFLOW_X = np.float32(-87.33)        # ln(f32 min normal) = -87.3365
 
 
 def _exp_f32_impl(x):
@@ -54,7 +57,10 @@ def _exp_f32_impl(x):
     pow2k = jax.lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
     y = p * pow2k
     y = jnp.where(x < _UNDERFLOW_X, jnp.zeros_like(y), y)
-    # Overflow + NaN: defer to the hardware exp (accuracy is moot at inf/NaN).
+    # x > 88: defer to the hardware exp. In (88.0, 88.72] the result is still
+    # a finite f32, so that window gets the ~45-ulp hardware accuracy (2^k
+    # needs k = 128, beyond exponent-field assembly); harmless for the
+    # negative-exponent GP use. Above 88.72 (inf) and at NaN accuracy is moot.
     return jnp.where(x > 88.0, jnp.exp(x), y)
 
 
