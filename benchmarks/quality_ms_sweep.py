@@ -90,13 +90,18 @@ def main():
                             progress_window=12)
     refine_b = SolverConfig(max_iters=120, tol=1e-4, noise_rel=3e-4,
                             progress_window=24)
+    refine_c = SolverConfig(max_iters=16, tol=1e-4, noise_rel=3e-4,
+                            progress_window=24)
     # (name, n_starts, refine, extra multistart kwargs)
     configs = [
-        ('s4_it60', 4, refine_a, {}),
-        ('s8_it60', 8, refine_a, {}),
-        ('s8_it120nl', 8, refine_b, {}),
-        ('s16_it60', 16, refine_a, {}),
-        ('s16_it120nl', 16, refine_b, {}),
+        ('s8z4_it60', 8, refine_a, {'n_zero_starts': 4}),
+        ('s8z7_it60', 8, refine_a, {'n_zero_starts': 7}),
+        ('s16z8_it120nl', 16, refine_b, {'n_zero_starts': 8}),
+        # Frozen-heavy refinement (throughput recipe): 4 rounds of cheap
+        # frozen-covariance descent + a 16-iteration full polish.
+        ('s8z4_frozen', 8, refine_c,
+         {'n_zero_starts': 4, 'refine_frozen_rounds': 4,
+          'refine_frozen_iters': 12}),
     ]
 
     rng = np.random.default_rng(7)

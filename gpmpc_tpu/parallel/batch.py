@@ -143,7 +143,11 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                            frozen_rounds: int = 3,
                            start_scale: float = 0.6,
                            seed: int = 0,
-                           delta: bool = False) -> SolveResult:
+                           delta: bool = False,
+                           refine_frozen_rounds: int = 0,
+                           refine_frozen_iters: int = 12,
+                           n_zero_starts: int = 0,
+                           zero_jitter: float = 0.02) -> SolveResult:
     """Two-phase global-then-local batched solve — the production recipe for
     reference-matching solution quality at batch throughput.
 
@@ -203,17 +207,31 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
         means, covs = rollout_batched(cache, x0s_k, u, delta=delta)
         return cost_k(params_k, means, covs, u)
 
-    # Starts: u = 0 (the reference's cold start, mpc.py:292-293) + draws.
+    # Starts: u = 0 (the reference's cold start, mpc.py:292-293), optional
+    # JITTERED-ZERO starts, and wide box draws. The jittered zeros are
+    # descent-PATH diversity, not position diversity: the f64 reference's
+    # basins are by construction reachable by cold-start descent, and the
+    # chaotic rollout amplifies an O(zero_jitter) perturbation of the start
+    # into a different descent path — measured (round 4) to recover basins
+    # that wide uniform draws miss at any n_starts.
     key = jax.random.PRNGKey(seed)
     dt = x0s.dtype
     lo = jnp.broadcast_to(jnp.asarray(lb, dt), (horizon, action_dim))
     hi = jnp.broadcast_to(jnp.asarray(ub, dt), (horizon, action_dim))
     mid, span = 0.5 * (lo + hi), 0.5 * (hi - lo)
-    draws = jax.random.uniform(
-        key, (k - 1, b, horizon, action_dim), dt, -1.0, 1.0)
-    starts = jnp.concatenate(
-        [jnp.zeros((1, b, horizon, action_dim), dt),
-         mid + start_scale * span * draws], axis=0)          # (K, B, H, da)
+    n_zero = min(n_zero_starts, k - 1)
+    key, kz = jax.random.split(key)
+    parts = [jnp.zeros((1, b, horizon, action_dim), dt)]
+    if n_zero > 0:
+        zdraws = jax.random.normal(
+            kz, (n_zero, b, horizon, action_dim), dt)
+        parts.append(zero_jitter * span * zdraws)
+    n_wide = k - 1 - n_zero
+    if n_wide > 0:
+        draws = jax.random.uniform(
+            key, (n_wide, b, horizon, action_dim), dt, -1.0, 1.0)
+        parts.append(mid + start_scale * span * draws)
+    starts = jnp.concatenate(parts, axis=0)                  # (K, B, H, da)
 
     u_cand = starts.reshape(k * b, horizon, action_dim)
     if surrogate_mode == 'mean':
@@ -251,6 +269,28 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
     def objective_full(u):
         means, covs = rollout_batched(cache, x0s, u, delta=delta)
         return cost_b(params, means, covs, u)
+
+    # Optional frozen-heavy pre-refinement of the winner (the throughput
+    # recipe): a frozen-covariance L-BFGS iteration costs ~1/9 of a full one
+    # (benchmarks/results/iter_cost.json: 0.94 vs 8.29 ms at B=256), so most
+    # of the local descent can run on the frozen objective — refreshing the
+    # covariance trajectory from one full rollout per round — with only the
+    # final `solver` budget paying full-objective prices. The frozen gradient
+    # lacks only dSigma/du, which the refresh cycles and the full polish
+    # recover.
+    for _ in range(refine_frozen_rounds):
+        _, covs_b = rollout_batched(cache, x0s, u0, delta=delta)
+        cov_db = jax.lax.stop_gradient(
+            jnp.diagonal(covs_b, axis1=2, axis2=3))              # (B, H+1, ds)
+
+        def objective_frozen_b(u, cov_db=cov_db):
+            means, cv = rollout_batched(cache, x0s, u, delta=delta,
+                                        frozen_cov_diag=cov_db)
+            return cost_b(params, means, cv, u)
+
+        u0 = solve_trajectory_batched(
+            objective_frozen_b, u0, lb, ub,
+            solver.replace(max_iters=refine_frozen_iters)).u
 
     return solve_trajectory_batched(objective_full, u0, lb, ub, solver)
 

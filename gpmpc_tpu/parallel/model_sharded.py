@@ -25,10 +25,14 @@ contraction). The batch axis composes orthogonally: a (batch, model) mesh
 runs B/n_b independent solves per device row, each solve's N^2 work split
 n_m ways.
 
-This path uses the XLA (jnp) form of the row-block contraction; the Pallas
-rw kernels currently serve the replicated path (their index maps assume the
-full (N, N) block — a row-sharded kernel variant is a straightforward
-follow-up once multi-chip hardware is available to measure on).
+The row-block contraction dispatches the rectangular streamed Pallas kernel
+(ops/pallas/variance_trace.variance_trace_tied_block) for tied-lambdas f32
+shapes inside its support envelope — each shard streams its (E, N, Nl)
+column block through VMEM exactly like the replicated kernel streams the
+full matrix — and falls back to the XLA einsum form otherwise (untied, f64
+validation, odd shapes). Multi-chip throughput is unmeasurable on this
+single-chip host; equivalence vs the einsum form is tested on the virtual
+CPU mesh (tests/test_model_sharded.py).
 
 Reference baseline: the reference has zero collectives of any kind
 (SURVEY.md §2.2 — single process, single device).
@@ -44,42 +48,62 @@ from gpmpc_tpu.gp.state import GPState
 from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
 from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory_batched
 from gpmpc_tpu.ops import moments
+from gpmpc_tpu.ops.pallas import variance_trace as _vt
 from gpmpc_tpu.parallel.batch import _params_axes
 from gpmpc_tpu.parallel.mesh import BATCH_AXIS, MODEL_AXIS
 
 
 def _variance_multi_batched_diag_rows(u, s_diag, x, b_lam_rows, row_off,
                                       log_lambdas, log_sigma_f, means,
-                                      axis_name: str):
-    """Row-sharded twin of moments.variance_prop_multi_batched_diag (tied and
-    untied handled by the same einsum — the shared-exp-chain saving is a
-    kernel concern, not a correctness one).
+                                      axis_name: str, tied: bool = False):
+    """Row-sharded twin of moments.variance_prop_multi_batched_diag.
 
     u: (B, d); s_diag: (B, d); x: (N, d) replicated; b_lam_rows: (E, Nl, N)
     THIS SHARD's rows [row_off, row_off + Nl); means: (B, E) -> (B, E).
     The (B, E) partial traces reduce with psum over `axis_name`.
+
+    tied=True (static, GPConfig.tied_lambdas) dispatches the rectangular
+    streamed Pallas kernel for the row-block partial when its support
+    envelope admits the shape; untied (or unsupported) shapes run the XLA
+    einsum form.
     """
     n_loc = b_lam_rows.shape[1]
+    n, d = x.shape
     lam = jnp.exp(log_lambdas)                                  # (E, d)
     hls = (lam / 2.0)[None] + s_diag[:, None, :]                # (B, E, d)
     log_det_part = -0.5 * (jnp.sum(jnp.log(hls), axis=-1)
                            - jnp.sum(log_lambdas - jnp.log(2.0),
                                      axis=-1)[None])            # (B, E)
 
-    a = u[:, None, :] - x[None]                                 # (B, N, d)
-    inv_hls = 1.0 / hls                                         # (B, E, d)
-    g = a[:, None] * inv_hls[:, :, None, :]                     # (B, E, N, d)
-    q = jnp.sum(g * a[:, None], axis=-1)                        # (B, E, N)
-    dv = jnp.exp(-0.125 * q)                                    # (B, E, N)
+    e = b_lam_rows.shape[0]
+    if (tied and _vt.enabled_batched()
+            and _vt.supported_tied_block(n, n_loc, d, x.dtype, e)):
+        # Kernelized row-block partial (VERDICT r3 item 7): the shard's rows
+        # of the symmetric blam, transposed to the kernel's column-block
+        # layout; partial traces psum over the model axis. The op's backward
+        # returns symmetry-collapsed per-block cotangents whose psum is the
+        # exact full gradient — valid exactly under this psum pattern (see
+        # variance_trace_tied_block).
+        x_blk = jax.lax.dynamic_slice_in_dim(x, row_off, n_loc, axis=0)
+        m2s = jnp.eye(d, dtype=x.dtype) \
+            * (1.0 / jnp.mean(hls, axis=1))[..., None, :]       # (B, d, d)
+        t_loc = _vt.variance_trace_tied_block(
+            u, m2s, x, x_blk, jnp.swapaxes(b_lam_rows, 1, 2))
+    else:
+        a = u[:, None, :] - x[None]                             # (B, N, d)
+        inv_hls = 1.0 / hls                                     # (B, E, d)
+        g = a[:, None] * inv_hls[:, :, None, :]                 # (B, E, N, d)
+        q = jnp.sum(g * a[:, None], axis=-1)                    # (B, E, N)
+        dv = jnp.exp(-0.125 * q)                                # (B, E, N)
 
-    a_rows = jax.lax.dynamic_slice_in_dim(a, row_off, n_loc, axis=1)
-    g_rows = jax.lax.dynamic_slice_in_dim(g, row_off, n_loc, axis=2)
-    dv_rows = jax.lax.dynamic_slice_in_dim(dv, row_off, n_loc, axis=2)
+        a_rows = jax.lax.dynamic_slice_in_dim(a, row_off, n_loc, axis=1)
+        g_rows = jax.lax.dynamic_slice_in_dim(g, row_off, n_loc, axis=2)
+        dv_rows = jax.lax.dynamic_slice_in_dim(dv, row_off, n_loc, axis=2)
 
-    # p_loc[b, e, i, j] = g_rows[b, e, i, :] . a[b, j, :]       (B, E, Nl, N)
-    p_loc = jnp.einsum('beid,bjd->beij', g_rows, a)
-    w = b_lam_rows[None] * jnp.exp(-0.25 * p_loc)
-    t_loc = jnp.einsum('bei,beij,bej->be', dv_rows, w, dv)
+        # p_loc[b, e, i, j] = g_rows[b, e, i, :] . a[b, j, :]   (B, E, Nl, N)
+        p_loc = jnp.einsum('beid,bjd->beij', g_rows, a)
+        w = b_lam_rows[None] * jnp.exp(-0.25 * p_loc)
+        t_loc = jnp.einsum('bei,beij,bej->be', dv_rows, w, dv)
     t = jax.lax.psum(t_loc, axis_name)
 
     return (jnp.exp(2.0 * log_sigma_f)[None]
@@ -103,7 +127,8 @@ def _step_batched_rows(cache: RolloutCache, b_lam_rows, row_off,
 
     gp_var = _variance_multi_batched_diag_rows(
         joint_mean, joint_diag, cache.x, b_lam_rows, row_off,
-        cache.log_lambdas, cache.log_sigma_f, gp_mean, axis_name)
+        cache.log_lambdas, cache.log_sigma_f, gp_mean, axis_name,
+        tied=cache.tied_lambdas)
 
     min_var = 1e-8
     if delta:
