@@ -86,22 +86,24 @@ def main():
     prob = make_headline_problem(b=b, dtype=jnp.float32)
     prob_bench = make_headline_problem(b=b_bench, dtype=jnp.float32)
 
-    refine_a = SolverConfig(max_iters=60, tol=1e-4, noise_rel=3e-3,
-                            progress_window=12)
+    refine_a = SolverConfig(max_iters=60, tol=1e-4, noise_rel=3e-4,
+                            progress_window=24)
     refine_b = SolverConfig(max_iters=120, tol=1e-4, noise_rel=3e-4,
                             progress_window=24)
-    refine_c = SolverConfig(max_iters=16, tol=1e-4, noise_rel=3e-4,
-                            progress_window=24)
-    # (name, n_starts, refine, extra multistart kwargs)
+    refine_f = SolverConfig(max_iters=40, tol=1e-4, noise_rel=3e-4,
+                            progress_window=20)
+    # (name, n_starts, refine, extra multistart kwargs). The shift_set
+    # time-shift phase is the round-4 tail fix (see solve_batch_multistart).
     configs = [
-        ('s8z4_it60', 8, refine_a, {'n_zero_starts': 4}),
-        ('s8z7_it60', 8, refine_a, {'n_zero_starts': 7}),
-        ('s16z8_it120nl', 16, refine_b, {'n_zero_starts': 8}),
-        # Frozen-heavy refinement (throughput recipe): 4 rounds of cheap
-        # frozen-covariance descent + a 16-iteration full polish.
-        ('s8z4_frozen', 8, refine_c,
-         {'n_zero_starts': 4, 'refine_frozen_rounds': 4,
-          'refine_frozen_iters': 12}),
+        ('prod_pf', 8, refine_a,
+         {'shift_set': (1, -1, 2, -2), 'shift_iters': 32, 'shift_prune': 2,
+          'shift_prune_frozen_iters': 8, 'prune_to': 4}),
+        ('prod_p3', 8, refine_a,
+         {'shift_set': (1, -1, 2, -2), 'shift_iters': 32, 'shift_prune': 3,
+          'prune_to': 4}),
+        ('prod16_pf', 16, refine_b,
+         {'shift_set': (1, -1, 2, -2), 'shift_iters': 40, 'shift_prune': 2,
+          'shift_prune_frozen_iters': 8, 'prune_to': 4}),
     ]
 
     rng = np.random.default_rng(7)
@@ -157,14 +159,25 @@ def main():
         print('eval failed:', out.stderr[-2000:])
         sys.exit(1)
     res = json.loads(line[-1][len('RESULT '):])
+    prov = provenance()
     for name in res:
         res[name]['solve_s_b64'] = round(times64[name], 3)
         res[name]['solve_s_b256'] = round(times256[name], 3)
         res[name]['solves_per_s_b256'] = round(256 / times256[name], 1)
-    res['provenance'] = provenance()
-    with open(os.path.join(RESULTS, 'quality_ms_sweep.json'), 'w') as f:
-        json.dump(res, f, indent=1)
-    print(json.dumps(res, indent=1))
+        res[name]['commit'] = prov['commit']
+    # MERGE into the existing artifact: the file accumulates the recipe
+    # frontier across sweep runs (per-entry commit records which code
+    # measured each row); same-named configs are updated in place.
+    out_path = os.path.join(RESULTS, 'quality_ms_sweep.json')
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(res)
+    merged['provenance'] = prov
+    with open(out_path, 'w') as f:
+        json.dump(merged, f, indent=1)
+    print(json.dumps(merged, indent=1))
 
 
 if __name__ == '__main__':

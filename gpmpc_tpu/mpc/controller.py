@@ -30,11 +30,12 @@ from gpmpc_tpu.mpc.solver import SolverConfig, SolveResult, solve_trajectory
 
 @functools.partial(jax.jit, static_argnames=(
     'state_dim', 'action_dim', 'solver_config', 'full_cov', 'has_r_delta',
-    'delta_dynamics', 'solver_recipe', 'n_starts'))
+    'delta_dynamics', 'solver_recipe', 'n_starts', 'recipe_kwargs'))
 def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
            Q, R, R_delta, gamma, x_ref, u_ref, u_prev,
            solver_config, full_cov, has_r_delta, delta_dynamics,
-           solver_recipe='single', n_starts=4) -> SolveResult:
+           solver_recipe='single', n_starts=4,
+           recipe_kwargs=()) -> SolveResult:
     cache = build_rollout_cache(gp, state_dim, action_dim)
     params = CostParams(Q=Q, R=R, gamma=gamma, x_ref=x_ref, u_ref=u_ref,
                         R_delta=R_delta if has_r_delta else None,
@@ -53,7 +54,8 @@ def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
                     if params.u_prev is not None else params)
         res = solve_batch_multistart(
             gp, state_dim, action_dim, x0[None], params_b, horizon, lb, ub,
-            solver_config, n_starts=n_starts, delta=delta_dynamics)
+            solver_config, n_starts=n_starts, delta=delta_dynamics,
+            **dict(recipe_kwargs))
         return SolveResult(u=res.u[0], cost=res.cost[0], iters=res.iters[0],
                            pg_norm=res.pg_norm[0])
 
@@ -118,7 +120,8 @@ class RiskSensitiveMPC:
                  solver: Optional[SolverConfig] = None,
                  full_cov: bool = False, dtype=jnp.float32,
                  jitter: float = 0.0, delta_dynamics: bool = False,
-                 solver_recipe: str = 'single', n_starts: int = 4):
+                 solver_recipe: str = 'single', n_starts: int = 4,
+                 recipe_kwargs: dict = None):
         """delta_dynamics=True learns state increments (x' = x + f(x, u)) and
         propagates the exact input-output covariance — substantially more
         accurate than the reference's raw next-state targets (see
@@ -142,6 +145,10 @@ class RiskSensitiveMPC:
         self.solver_config = solver or SolverConfig()
         self.solver_recipe = solver_recipe
         self.n_starts = int(n_starts)
+        # Extra solve_batch_multistart options (e.g. the production
+        # shift/prune recipe bench.py runs), frozen to a hashable tuple
+        # for the jit static argument.
+        self.recipe_kwargs = tuple(sorted((recipe_kwargs or {}).items()))
 
         self.Q = jnp.asarray(Q, dtype).reshape(state_dim, state_dim)
         self.R = jnp.asarray(R, dtype).reshape(input_dim, input_dim)
@@ -233,7 +240,8 @@ class RiskSensitiveMPC:
             jnp.asarray(self.gamma, dt), self.x_ref, self.u_ref,
             jnp.asarray(self.last_traj[0], dt),
             self.solver_config, self.full_cov, self.R_delta is not None,
-            self.delta_dynamics, self.solver_recipe, self.n_starts)
+            self.delta_dynamics, self.solver_recipe, self.n_starts,
+            self.recipe_kwargs)
         self.last_result = result
         u = np.asarray(result.u, np.float64)
         self.last_traj = u

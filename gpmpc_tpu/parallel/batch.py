@@ -147,7 +147,12 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                            refine_frozen_rounds: int = 0,
                            refine_frozen_iters: int = 12,
                            n_zero_starts: int = 0,
-                           zero_jitter: float = 0.02) -> SolveResult:
+                           zero_jitter: float = 0.02,
+                           shift_set: tuple = (),
+                           shift_iters: int = 40,
+                           shift_prune: int = 0,
+                           shift_prune_frozen_iters: int = 0,
+                           prune_to: int = 0) -> SolveResult:
     """Two-phase global-then-local batched solve — the production recipe for
     reference-matching solution quality at batch throughput.
 
@@ -179,7 +184,24 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
 
     Candidates are then scored under the FULL objective (one O(N^2) rollout
     per start) and the per-scenario best warm-starts phase 1, the full
-    noise-tolerant solve.
+    noise-tolerant solve. Optional phases (the round-4 production recipe,
+    measured in benchmarks/results/quality_ms_sweep.json):
+
+      prune_to > 0:        after the first frozen round, only the top
+                           `prune_to` candidates per scenario (by surrogate
+                           cost) pay the remaining phase-0 rounds/scoring;
+      shift_set:           TIME-SHIFT tail fix — the refined winner's
+                           profile shifted by each k in the set is re-refined
+                           `shift_iters` iterations and the per-scenario
+                           best returned (see the phase comment below for
+                           the measured switch-time-basin rationale);
+      shift_prune > 0:     one full forward scores the shifted profiles and
+                           only the top `shift_prune` pay the refinement;
+      refine_frozen_*:     frozen-covariance pre-refinement of the winner
+                           (cheap iterations; measured to underperform full
+                           refinement on quality — off by default);
+      n_zero_starts:       jittered-zero starts (measured to underperform
+                           wide draws — off by default; kept for sweeps).
 
     Everything is one jittable computation (no host round trips); combine
     with solve_batch_staged-style compaction by passing the result's
@@ -234,22 +256,46 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
     starts = jnp.concatenate(parts, axis=0)                  # (K, B, H, da)
 
     u_cand = starts.reshape(k * b, horizon, action_dim)
+    k_live = k
     if surrogate_mode == 'mean':
         u_cand = solve_trajectory_batched(objective_surrogate, u_cand,
                                           lb, ub, surrogate).u
     elif surrogate_mode == 'frozen':
-        for _ in range(frozen_rounds):
-            _, covs = rollout_batched(cache, x0s_k, u_cand, delta=delta)
+        for rnd in range(frozen_rounds):
+            kb = k_live * b
+            x0s_r = x0s_k[:kb]
+            params_r = params_k if k_live == k else _tile_params(params, b,
+                                                                 k_live)
+            axes_r = _params_axes(params_r)
+            cost_r = jax.vmap(risk_sensitive_cost,
+                              in_axes=(axes_r, 0, 0, 0))
+            _, covs = rollout_batched(cache, x0s_r, u_cand, delta=delta)
             cov_d = jax.lax.stop_gradient(
                 jnp.diagonal(covs, axis1=2, axis2=3))        # (KB, H+1, ds)
 
-            def objective_frozen(u, cov_d=cov_d):
-                means, cv = rollout_batched(cache, x0s_k, u, delta=delta,
+            def objective_frozen(u, cov_d=cov_d, x0s_r=x0s_r,
+                                 params_r=params_r, cost_r=cost_r):
+                means, cv = rollout_batched(cache, x0s_r, u, delta=delta,
                                             frozen_cov_diag=cov_d)
-                return cost_k(params_k, means, cv, u)
+                return cost_r(params_r, means, cv, u)
 
-            u_cand = solve_trajectory_batched(objective_frozen, u_cand,
-                                              lb, ub, surrogate).u
+            res_f = solve_trajectory_batched(objective_frozen, u_cand,
+                                             lb, ub, surrogate)
+            u_cand = res_f.u
+            # Optional candidate pruning after the first round: the
+            # surrogate solve's own costs (comparable per lane as
+            # approximations of the full objective) rank the K starts;
+            # only the top `prune_to` pay the remaining rounds and the
+            # full-objective scoring — phase 0's cost driver at large K.
+            if (rnd == 0 and prune_to and prune_to < k_live
+                    and frozen_rounds > 1):
+                j_f = jnp.where(jnp.isfinite(res_f.cost), res_f.cost,
+                                jnp.inf).reshape(k_live, b)
+                order = jnp.argsort(j_f, axis=0)[:prune_to]  # (P, B)
+                u_kb = u_cand.reshape(k_live, b, horizon, action_dim)
+                u_cand = u_kb[order, jnp.arange(b)[None, :]].reshape(
+                    prune_to * b, horizon, action_dim)
+                k_live = prune_to
     else:
         raise ValueError(f'unknown surrogate_mode {surrogate_mode!r}')
     # Score the K candidates per scenario under the full objective. Finite
@@ -257,10 +303,20 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
     # can accept iterates outside the PD cone for extreme gamma) must never
     # win the argmin — replace with +inf so any finite candidate beats it
     # (u = 0 always evaluates finite on the reference-style workloads).
-    j_full = objective_full_k(u_cand).reshape(k, b)          # (K, B)
+    if k_live != k:
+        params_l = _tile_params(params, b, k_live)
+        axes_l = _params_axes(params_l)
+        cost_l = jax.vmap(risk_sensitive_cost, in_axes=(axes_l, 0, 0, 0))
+        x0s_l = x0s_k[:k_live * b]
+
+        def objective_full_k(u):                  # noqa: F811 (live width)
+            means, covs = rollout_batched(cache, x0s_l, u, delta=delta)
+            return cost_l(params_l, means, covs, u)
+
+    j_full = objective_full_k(u_cand).reshape(k_live, b)     # (K, B)
     j_full = jnp.where(jnp.isfinite(j_full), j_full, jnp.inf)
     best = jnp.argmin(j_full, axis=0)                        # (B,)
-    u0 = u_cand.reshape(k, b, horizon, action_dim)[
+    u0 = u_cand.reshape(k_live, b, horizon, action_dim)[
         best, jnp.arange(b)]                                 # (B, H, da)
 
     params_axes = _params_axes(params, b)
@@ -292,7 +348,99 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
             objective_frozen_b, u0, lb, ub,
             solver.replace(max_iters=refine_frozen_iters)).u
 
-    return solve_trajectory_batched(objective_full, u0, lb, ub, solver)
+    res = solve_trajectory_batched(objective_full, u0, lb, ub, solver)
+    if not shift_set:
+        return res
+
+    # TIME-SHIFT phase (round-4 tail fix): the persistent >1% lanes of every
+    # random-start recipe turned out to be SWITCH-TIME misalignment — their
+    # incumbent was the f64 reference's control profile shifted by 1-2 steps
+    # (basins are indexed by the discrete step at which the high-torque
+    # phase hands over; a whole-profile shift is a far move in u-space that
+    # neither local descent nor uniform draws ever make). Each k in
+    # `shift_set` proposes the REFINED incumbent delayed (k > 0: first
+    # action repeated) or advanced (k < 0: last action held); incumbent +
+    # shifts are refined `shift_iters` full-objective iterations in lockstep
+    # and the per-scenario best (finite-guarded) is returned. Measured on
+    # the headline workload: p90 cost excess 3.4% -> 0.18% vs the f64
+    # reference (benchmarks/results/quality_ms_sweep.json, round 4).
+    def shift_u(u, kk):
+        if kk > 0:
+            return jnp.concatenate(
+                [jnp.repeat(u[:, :1], kk, axis=1), u[:, :-kk]], axis=1)
+        kk = -kk
+        return jnp.concatenate(
+            [u[:, kk:], jnp.repeat(u[:, -1:], kk, axis=1)], axis=1)
+
+    u1 = res.u
+    ks = 1 + len(shift_set)
+    u_sh = jnp.concatenate([u1] + [shift_u(u1, kk) for kk in shift_set],
+                           axis=0)                           # (Ks*B, H, da)
+
+    def make_obj(kk, x0s_kk, params_kk):
+        axes_kk = _params_axes(params_kk)
+        cost_kk = jax.vmap(risk_sensitive_cost, in_axes=(axes_kk, 0, 0, 0))
+
+        def objective(u):
+            means, covs = rollout_batched(cache, x0s_kk, u, delta=delta)
+            return cost_kk(params_kk, means, covs, u)
+        return objective
+
+    params_s = _tile_params(params, b, ks)
+    x0s_s = jnp.tile(x0s, (ks, 1))
+    objective_full_s = make_obj(ks, x0s_s, params_s)
+
+    if shift_prune and shift_prune < ks:
+        # Cheap pre-selection: ONE full forward scores all shifted profiles;
+        # only the top `shift_prune` candidates per scenario (finite-guarded;
+        # the refined incumbent is candidate 0 and scores its own refined
+        # cost, so it survives unless a shift genuinely beats it) pay the
+        # full lockstep refinement. Cuts the shift phase's cost from
+        # Ks*B*shift_iters to B*fwd + shift_prune*B*shift_iters full-iteration
+        # units — the phase's cost driver at Ks = 5.
+        if shift_prune_frozen_iters > 0:
+            # A raw shifted profile is seam-misaligned, so its unrefined
+            # score can bury a shift that wins after refinement (observed: a
+            # lane diverging to 29% excess under score-only pruning). A few
+            # FROZEN-covariance iterations (~1/9 the cost of full ones)
+            # smooth the seams first so the pre-selection scores rank the
+            # refined potential.
+            _, covs_sh = rollout_batched(cache, x0s_s, u_sh, delta=delta)
+            cov_sh = jax.lax.stop_gradient(
+                jnp.diagonal(covs_sh, axis1=2, axis2=3))
+            cost_sh = jax.vmap(risk_sensitive_cost,
+                               in_axes=(_params_axes(params_s), 0, 0, 0))
+
+            def objective_frozen_s(u, cov_sh=cov_sh):
+                means, cv = rollout_batched(cache, x0s_s, u, delta=delta,
+                                            frozen_cov_diag=cov_sh)
+                return cost_sh(params_s, means, cv, u)
+
+            u_sh = solve_trajectory_batched(
+                objective_frozen_s, u_sh, lb, ub,
+                solver.replace(max_iters=shift_prune_frozen_iters)).u
+        j_pre = objective_full_s(u_sh).reshape(ks, b)
+        j_pre = jnp.where(jnp.isfinite(j_pre), j_pre, jnp.inf)
+        order = jnp.argsort(j_pre, axis=0)[:shift_prune]     # (P, B)
+        u_kb = u_sh.reshape(ks, b, horizon, action_dim)
+        u_sh = u_kb[order, jnp.arange(b)[None, :]].reshape(
+            shift_prune * b, horizon, action_dim)
+        ks = shift_prune
+        params_s = _tile_params(params, b, ks)
+        x0s_s = jnp.tile(x0s, (ks, 1))
+        objective_full_s = make_obj(ks, x0s_s, params_s)
+
+    res_s = solve_trajectory_batched(
+        objective_full_s, u_sh, lb, ub,
+        solver.replace(max_iters=shift_iters))
+    j_s = jnp.where(jnp.isfinite(res_s.cost), res_s.cost,
+                    jnp.inf).reshape(ks, b)
+    best_s = jnp.argmin(j_s, axis=0)
+    pick = lambda v: v.reshape((ks, b) + v.shape[1:])[best_s, jnp.arange(b)]
+    return SolveResult(u=pick(res_s.u), cost=pick(res_s.cost),
+                       iters=res.iters + pick(res_s.iters),
+                       pg_norm=pick(res_s.pg_norm),
+                       converged=pick(res_s.converged))
 
 
 def _gather_params(params: CostParams, b: int, idx) -> CostParams:
