@@ -138,28 +138,59 @@ def main():
     if base:
         t1 = base[0]['t_ms']
         for r in rows:
-            r['overhead_vs_unsharded'] = round(r['t_ms'] / t1 - 1.0, 3)
+            r['time_vs_unsharded'] = round(r['t_ms'] / t1 - 1.0, 3)
             spread = (r['t_ms_max'] - r['t_ms_min']) / r['t_ms']
             r['spread'] = round(spread, 3)
             # a row is only interpretable if its spread is small relative to
-            # the overhead it claims
+            # the difference it claims
             r['noise_bounded'] = bool(
                 spread > args.noise_bound
-                or abs(r['overhead_vs_unsharded']) < spread)
+                or abs(r['time_vs_unsharded']) < spread)
+
+        # The honest single-chip scaling curve is the TPU batch-width sweep
+        # (one real chip is all this host has) — pull it from the round's
+        # iter_cost artifact when present.
+        tpu_curve = None
+        ic_path = os.path.join(repo, 'benchmarks', 'results',
+                               'iter_cost.json')
+        if os.path.exists(ic_path):
+            with open(ic_path) as f:
+                tpu_curve = json.load(f).get('batch_sweep_full40')
+
+        sys.path.insert(0, repo)
+        from benchmarks.provenance import provenance
         out_path = os.path.join(repo, 'benchmarks', 'results',
                                 f'SCALING_r{args.round:02d}.json')
         os.makedirs(os.path.dirname(out_path), exist_ok=True)
         with open(out_path, 'w') as f:
-            json.dump({'protocol': 'fixed total batch on 2 shared CPU '
-                                   'cores; median of reps with min/max '
-                                   'spread; overhead_vs_unsharded isolates '
-                                   'the sharding machinery cost (DP '
-                                   'efficiency ceiling on real chips = 1 - '
-                                   'overhead); noise_bounded rows must be '
-                                   'read as |overhead| <= spread, not as '
-                                   'signed results',
-                       'reps': args.reps,
-                       'rows': rows}, f, indent=1)
+            json.dump({
+                'statement': 'This host exposes ONE real TPU chip: true '
+                             'multi-chip / multi-host scaling efficiency is '
+                             'NOT measurable here. What is measured: (a) '
+                             'tpu_batch_width_curve — single-chip throughput '
+                             'vs concurrent-solve width (saturates at '
+                             'B~256-512, i.e. the chip is compute-bound and '
+                             'wider DP must come from more chips); (b) '
+                             'virtual-device rows — the sharded program at '
+                             'fixed total batch on 2 shared CPU cores. '
+                             'NEGATIVE time_vs_unsharded there is REAL '
+                             'thread-level parallelism (each virtual device '
+                             'gets a host thread), not measurement error; '
+                             'its value as evidence is qualitative only: '
+                             'the shard_map machinery introduces no '
+                             'blocking overhead. The DP fan-out has zero '
+                             'collectives by construction, so on real '
+                             'chips the efficiency ceiling is set by the '
+                             'per-chip curve, not by communication.',
+                'protocol': 'virtual-device rows: fresh subprocess per '
+                            'config, median of reps with min/max spread; '
+                            'noise_bounded rows must be read as '
+                            '|difference| <= spread, not as signed results',
+                'reps': args.reps,
+                'tpu_batch_width_curve': tpu_curve,
+                'virtual_device_rows': rows,
+                'provenance': provenance(),
+            }, f, indent=1)
         print(json.dumps(rows, indent=1))
 
 
