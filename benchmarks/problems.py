@@ -64,3 +64,38 @@ def make_headline_problem(b: int = 256, dtype=None, seed: int = 0,
                         x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
     return HeadlineProblem(gp=gp, state_dim=ds, action_dim=da, x0s=x0s,
                            params=params, horizon=horizon, lb=-5.0, ub=5.0)
+
+
+def make_cartpole_problem(b: int = 32, dtype=None, seed: int = 0,
+                          n_train: int = 200, capacity: int = 256,
+                          horizon: int = 10) -> HeadlineProblem:
+    """Second quality workload (recipe-generalization evidence): the
+    BASELINE config-3 cartpole plant (4-D state, true step_physics data) at a
+    CPU-reference-affordable N, gamma sweep, H=10, force bounds +-1."""
+    import jax
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.envs import cartpole as cp
+    from gpmpc_tpu.gp import state as gs
+    from gpmpc_tpu.mpc.cost import CostParams
+
+    if dtype is None:
+        dtype = jnp.float32
+    ds, da = 4, 1
+    st, ac, ns = cp.sample_transitions(jax.random.PRNGKey(seed), n_train)
+    x = np.concatenate([np.asarray(st, np.float64),
+                        np.asarray(ac, np.float64)], axis=1)
+    cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
+    gp = gs.make_gp(cfg, x, np.asarray(ns, np.float64),
+                    log_lambdas=np.log([2.0] * (ds + da)),
+                    log_sigma_f=0.0, log_sigma_n=np.log(0.1), dtype=dtype)
+
+    rng = np.random.default_rng(seed + 1)
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (b, ds)), dtype)
+    gammas = jnp.asarray(np.linspace(-0.5, 0.5, b), dtype)
+    params = CostParams(Q=jnp.eye(ds, dtype=dtype),
+                        R=0.1 * jnp.eye(da, dtype=dtype),
+                        gamma=gammas,
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    return HeadlineProblem(gp=gp, state_dim=ds, action_dim=da, x0s=x0s,
+                           params=params, horizon=horizon, lb=-1.0, ub=1.0)

@@ -94,18 +94,15 @@ def main():
                             progress_window=20)
     # (name, n_starts, refine, extra multistart kwargs). The shift_set
     # time-shift phase is the round-4 tail fix (see solve_batch_multistart).
+    refine_48 = SolverConfig(max_iters=48, tol=1e-4, noise_rel=3e-4,
+                             progress_window=20)
+    import gpmpc_tpu.ops.pallas.variance_trace as _vt
+    suffix = '_hwexp' if _vt._EXP_MODE == 'hw' else ''
     configs = [
-        ('prod_pf', 8, refine_a,
+        ('prod_pf' + suffix, 8, refine_a,
          {'shift_set': (1, -1, 2, -2), 'shift_iters': 32, 'shift_prune': 2,
           'shift_prune_frozen_iters': 8, 'prune_to': 4}),
-        ('prod_p3', 8, refine_a,
-         {'shift_set': (1, -1, 2, -2), 'shift_iters': 32, 'shift_prune': 3,
-          'prune_to': 4}),
-        ('prod16_pf', 16, refine_b,
-         {'shift_set': (1, -1, 2, -2), 'shift_iters': 40, 'shift_prune': 2,
-          'shift_prune_frozen_iters': 8, 'prune_to': 4}),
     ]
-
     rng = np.random.default_rng(7)
     uu, times64, times256 = {}, {}, {}
     for name, k, refine, kw in configs:

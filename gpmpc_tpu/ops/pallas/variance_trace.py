@@ -42,8 +42,22 @@ from jax.experimental.pallas import tpu as pltpu
 # env mutations would only desynchronize new traces from the jit cache.
 _DOT_MODE = os.environ.get('GPMPC_KERNEL_DOT', 'highest')
 
+# In-kernel exp for the O(N^2) chains (GPMPC_KERNEL_EXP, read once at import):
+#   'exact' (default) — utils.accurate.exp_f32, ~2 ulp; the measured-safe
+#   choice (hardware exp's ~45 ulp deterministic error amplifies through the
+#   cancellation-heavy trace into percent-level objective corruption, the
+#   round-3 quality regression);
+#   'hw' — the hardware approximation; ~2.5x less VPU work on the chain
+#   (the kernel's dominant cost). Measurement knob for surrogate phases.
+_EXP_MODE = os.environ.get('GPMPC_KERNEL_EXP', 'exact')
+
 from gpmpc_tpu.utils.accurate import exp_f32 as _exp
 from gpmpc_tpu.utils.linalg import f32_matmul_precision
+
+# The O(N^2) chain exp used INSIDE kernel bodies (see _EXP_MODE above). The
+# O(N) prep exps (dvec, kernel weights) always use the exact form — they are
+# cheap and feed the same cancellation-amplified contractions.
+_chain_exp = jnp.exp if _EXP_MODE == 'hw' else _exp
 
 
 def _interpret() -> bool:
@@ -277,7 +291,7 @@ def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
             p_t = comb[:, 0:1] * gt_ref[k, 0:1, :]
             for kk in range(1, d):
                 p_t += comb[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
-            emat_t = _exp(-0.25 * p_t)                         # (TJ, N)
+            emat_t = _chain_exp(-0.25 * p_t)                   # (TJ, N)
             ao_hi, ao_lo = _split_bf16(comb[:, d:])               # (TJ, W1)
             for e in range(e_total):
                 w = blam_ref[e] * emat_t                          # (TJ, N)
@@ -412,7 +426,7 @@ def _make_rw_sym_kernel(btile: int, e_total: int, d: int, w1: int,
                 p_t = comb_j[:, z0:z0 + 1] * zt[0:1, :]
                 for kk in range(1, d):
                     p_t += comb_j[:, z0 + kk:z0 + kk + 1] * zt[kk:kk + 1, :]
-                return _exp(-0.25 * p_t)                  # (T_J, T_I)
+                return _chain_exp(-0.25 * p_t)            # (T_J, T_I)
 
             if shared_chain:
                 emat = chain(0, zt_ref[k])
