@@ -82,9 +82,34 @@ def make_cartpole_problem(b: int = 32, dtype=None, seed: int = 0,
     if dtype is None:
         dtype = jnp.float32
     ds, da = 4, 1
-    st, ac, ns = cp.sample_transitions(jax.random.PRNGKey(seed), n_train)
-    x = np.concatenate([np.asarray(st, np.float64),
-                        np.asarray(ac, np.float64)], axis=1)
+    # Training data via NUMPY rng + the pure physics stepper — NOT
+    # jax.random: this machine's TPU platform resolves jax.random to a
+    # different PRNG implementation than CPU, so jax.random-seeded problems
+    # are NOT the same problem across backends (observed as a phantom 30%
+    # "quality gap": the f64 CPU reference and the TPU solve optimized
+    # different GP posteriors).
+    rng0 = np.random.default_rng(seed)
+    st = np.stack([rng0.uniform(-2.4, 2.4, n_train),
+                   rng0.uniform(-2.0, 2.0, n_train),
+                   rng0.uniform(-np.pi / 4, np.pi / 4, n_train),
+                   rng0.uniform(-2.0, 2.0, n_train)], axis=1)
+    ac = rng0.uniform(-1.0, 1.0, (n_train, da))
+    # Host numpy f64 physics (exact twin of envs.cartpole.step_physics) so
+    # the dataset is bit-identical in every process regardless of backend
+    # dtype defaults.
+    pp = cp.CartPoleParams()
+    force = pp.force_mag * ac[:, 0]
+    xp, xd, th, thd = st[:, 0], st[:, 1], st[:, 2], st[:, 3]
+    total_mass = pp.masscart + pp.masspole
+    pml = pp.masspole * pp.length
+    ct, stn = np.cos(th), np.sin(th)
+    temp = (force + pml * thd ** 2 * stn) / total_mass
+    thacc = (pp.gravity * stn - ct * temp) / (
+        pp.length * (4.0 / 3.0 - pp.masspole * ct ** 2 / total_mass))
+    xacc = temp - pml * thacc * ct / total_mass
+    ns = np.stack([xp + pp.tau * xd, xd + pp.tau * xacc,
+                   th + pp.tau * thd, thd + pp.tau * thacc], axis=1)
+    x = np.concatenate([st, ac], axis=1)
     cfg = gs.GPConfig(capacity=capacity, x_dim=ds + da, out_dim=ds)
     gp = gs.make_gp(cfg, x, np.asarray(ns, np.float64),
                     log_lambdas=np.log([2.0] * (ds + da)),
