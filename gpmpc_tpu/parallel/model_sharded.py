@@ -85,8 +85,14 @@ def _variance_multi_batched_diag_rows(u, s_diag, x, b_lam_rows, row_off,
         # exact full gradient — valid exactly under this psum pattern (see
         # variance_trace_tied_block).
         x_blk = jax.lax.dynamic_slice_in_dim(x, row_off, n_loc, axis=0)
+        # Lambda contribution through the tied hypergrad guard (NaN
+        # lengthscale cotangents — ops.moments._tied_hypergrad_guard);
+        # s_diag gradients stay exact.
+        lam0g = jnp.mean(jnp.exp(moments._tied_hypergrad_guard(log_lambdas)),
+                         axis=0)
+        hls0 = (lam0g / 2.0)[None] + s_diag                     # (B, d)
         m2s = jnp.eye(d, dtype=x.dtype) \
-            * (1.0 / jnp.mean(hls, axis=1))[..., None, :]       # (B, d, d)
+            * (1.0 / hls0)[..., None, :]                        # (B, d, d)
         t_loc = _vt.variance_trace_tied_block(
             u, m2s, x, x_blk, jnp.swapaxes(b_lam_rows, 1, 2))
     else:
