@@ -59,7 +59,10 @@ def _quality_sidecar():
             'excess_p90_vs_f64ref': q['excess_p90'],
             'n_gt1pct_of_64': q['n_gt1pct'],
             'artifact': 'benchmarks/results/quality_ms_sweep.json',
-            'artifact_commit': art.get('provenance', {}).get('commit'),
+            # per-entry commit (the code that measured THIS row), not the
+            # merged file's last-writer provenance
+            'artifact_commit': q.get(
+                'commit', art.get('provenance', {}).get('commit')),
         }
     except Exception as e:                       # pragma: no cover
         return {'error': f'quality artifact unavailable: {e}'}
