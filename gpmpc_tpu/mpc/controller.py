@@ -52,10 +52,14 @@ def _solve(gp, state_dim, action_dim, x0, u_init, lb, ub,
         # leaf is ambiguous to the batch layer when da happens to equal B.
         params_b = (params._replace(u_prev=u_prev[None])
                     if params.u_prev is not None else params)
+        # u_init (the receding-horizon warm start — typically the incumbent
+        # basin) joins the start set as an extra candidate instead of being
+        # discarded (advisor r4, low): the cold start u = 0 and the wide
+        # draws stay, so this can only improve the per-step selection.
         res = solve_batch_multistart(
             gp, state_dim, action_dim, x0[None], params_b, horizon, lb, ub,
             solver_config, n_starts=n_starts, delta=delta_dynamics,
-            **dict(recipe_kwargs))
+            extra_starts=u_init[None, None], **dict(recipe_kwargs))
         return SolveResult(u=res.u[0], cost=res.cost[0], iters=res.iters[0],
                            pg_norm=res.pg_norm[0])
 
@@ -229,7 +233,17 @@ class RiskSensitiveMPC:
             return np.zeros((self.horizon, self.input_dim))
 
         dt = self.dtype
-        u_init = jnp.zeros((self.horizon, self.input_dim), dt)  # cold start, mpc.py:292
+        if self.solver_recipe == 'multistart':
+            # Receding-horizon warm start: the previous solve's trajectory
+            # shifted one step (last action held). The multistart recipe adds
+            # it as an EXTRA candidate alongside the reference's cold start
+            # u = 0 (mpc.py:292) and the wide draws, so the previous basin
+            # stays in the running at every control step.
+            u_init = jnp.asarray(
+                np.concatenate([self.last_traj[1:], self.last_traj[-1:]], 0),
+                dt)
+        else:
+            u_init = jnp.zeros((self.horizon, self.input_dim), dt)  # cold start, mpc.py:292
         result = _solve(
             self.gp, self.state_dim, self.input_dim,
             jnp.asarray(curr_state, dt).reshape(self.state_dim),

@@ -152,7 +152,9 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                            shift_iters: int = 40,
                            shift_prune: int = 0,
                            shift_prune_frozen_iters: int = 0,
-                           prune_to: int = 0) -> SolveResult:
+                           prune_to: int = 0,
+                           extra_starts: Optional[jax.Array] = None
+                           ) -> SolveResult:
     """Two-phase global-then-local batched solve — the production recipe for
     reference-matching solution quality at batch throughput.
 
@@ -201,7 +203,13 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                            (cheap iterations; measured to underperform full
                            refinement on quality — off by default);
       n_zero_starts:       jittered-zero starts (measured to underperform
-                           wide draws — off by default; kept for sweeps).
+                           wide draws — off by default; kept for sweeps);
+      extra_starts:        (E, B, H, da) caller-supplied candidate starts —
+                           e.g. the receding-horizon warm start (previous
+                           step's solved trajectory, typically the incumbent
+                           basin) — appended to the start set so every
+                           control step keeps its warm start in the running
+                           without losing the cold-start/global draws.
 
     Everything is one jittable computation (no host round trips); combine
     with solve_batch_staged-style compaction by passing the result's
@@ -214,20 +222,6 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
         # frozen mode iterates per round; mean mode runs once.
         surrogate = solver.replace(
             max_iters=(16 if surrogate_mode == 'frozen' else 80), tol=1e-3)
-
-    params_k = _tile_params(params, b, k)
-    params_axes_k = _params_axes(params_k, k * b)
-    cost_k = jax.vmap(risk_sensitive_cost, in_axes=(params_axes_k, 0, 0, 0))
-    x0s_k = jnp.tile(x0s, (k, 1))
-
-    def objective_surrogate(u):                   # (K*B, H, da) -> (K*B,)
-        means, covs = rollout_batched(cache, x0s_k, u, delta=delta,
-                                      mean_only=True)
-        return cost_k(params_k, means, covs, u)
-
-    def objective_full_k(u):
-        means, covs = rollout_batched(cache, x0s_k, u, delta=delta)
-        return cost_k(params_k, means, covs, u)
 
     # Starts: u = 0 (the reference's cold start, mpc.py:292-293), optional
     # JITTERED-ZERO starts, and wide box draws. The jittered zeros are
@@ -253,7 +247,25 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
         draws = jax.random.uniform(
             key, (n_wide, b, horizon, action_dim), dt, -1.0, 1.0)
         parts.append(mid + start_scale * span * draws)
+    if extra_starts is not None:
+        parts.append(jnp.asarray(extra_starts, dt).reshape(
+            -1, b, horizon, action_dim))
     starts = jnp.concatenate(parts, axis=0)                  # (K, B, H, da)
+    k = starts.shape[0]                # total width incl. extra_starts
+
+    params_k = _tile_params(params, b, k)
+    params_axes_k = _params_axes(params_k, k * b)
+    cost_k = jax.vmap(risk_sensitive_cost, in_axes=(params_axes_k, 0, 0, 0))
+    x0s_k = jnp.tile(x0s, (k, 1))
+
+    def objective_surrogate(u):                   # (K*B, H, da) -> (K*B,)
+        means, covs = rollout_batched(cache, x0s_k, u, delta=delta,
+                                      mean_only=True)
+        return cost_k(params_k, means, covs, u)
+
+    def objective_full_k(u):
+        means, covs = rollout_batched(cache, x0s_k, u, delta=delta)
+        return cost_k(params_k, means, covs, u)
 
     u_cand = starts.reshape(k * b, horizon, action_dim)
     k_live = k
@@ -437,10 +449,23 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                     jnp.inf).reshape(ks, b)
     best_s = jnp.argmin(j_s, axis=0)
     pick = lambda v: v.reshape((ks, b) + v.shape[1:])[best_s, jnp.arange(b)]
-    return SolveResult(u=pick(res_s.u), cost=pick(res_s.cost),
+    # The UNTOUCHED pre-shift incumbent joins the final selection: with
+    # shift_prune_frozen_iters > 0 the incumbent profile is smoothed by
+    # frozen-covariance iterations before pre-selection and the noise-
+    # tolerant refinement is not monotone, so candidate 0 can be pruned or
+    # degraded — without this guard the shift phase could return a lane
+    # WORSE than the pre-shift solve (advisor r4, medium). Tie goes to the
+    # incumbent (<=) so no-op shifts keep the incumbent's diagnostics.
+    j_shift = pick(res_s.cost)
+    j_inc = jnp.where(jnp.isfinite(res.cost), res.cost, jnp.inf)
+    use_inc = j_inc <= jnp.where(jnp.isfinite(j_shift), j_shift, jnp.inf)
+    sel = lambda a, bv: jnp.where(
+        use_inc.reshape((b,) + (1,) * (a.ndim - 1)), a, bv)
+    return SolveResult(u=sel(res.u, pick(res_s.u)),
+                       cost=sel(res.cost, j_shift),
                        iters=res.iters + pick(res_s.iters),
-                       pg_norm=pick(res_s.pg_norm),
-                       converged=pick(res_s.converged))
+                       pg_norm=sel(res.pg_norm, pick(res_s.pg_norm)),
+                       converged=sel(res.converged, pick(res_s.converged)))
 
 
 def _gather_params(params: CostParams, b: int, idx) -> CostParams:

@@ -126,7 +126,7 @@ def run_episode_on_device(gp: gp_state.GPState,
     use_ms = (solver_recipe == 'multistart' and not full_cov
               and solver.method == 'lbfgs')
 
-    def mpc_solve(gp_t, x, u_prev):
+    def mpc_solve(gp_t, x, u_prev, u_warm):
         p = params._replace(u_prev=u_prev) if params.R_delta is not None else params
 
         if use_ms:
@@ -135,9 +135,13 @@ def run_episode_on_device(gp: gp_state.GPState,
             # ambiguous to the batch layer when da happens to equal B.
             if p.u_prev is not None and p.R_delta is not None:
                 p = p._replace(u_prev=p.u_prev[None])
+            # The receding-horizon warm start (previous step's solved
+            # trajectory, shifted) rides along as an extra candidate
+            # (advisor r4, low) — cold start + wide draws unchanged.
             res = solve_batch_multistart(gp_t, ds, da, x[None], p, horizon,
                                          lb, ub, solver, n_starts=n_starts,
-                                         delta=delta_dynamics)
+                                         delta=delta_dynamics,
+                                         extra_starts=u_warm[None, None])
             return jax.tree.map(lambda v: v[0], res)
 
         cache = build_rollout_cache(gp_t, ds, da)
@@ -151,8 +155,9 @@ def run_episode_on_device(gp: gp_state.GPState,
         return solve_trajectory(objective, u_init, lb, ub, solver)
 
     def body(carry, _):
-        gp_t, x, u_prev = carry
-        result = mpc_solve(gp_t, x, u_prev)
+        gp_t, x, u_prev, u_traj = carry
+        u_warm = jnp.concatenate([u_traj[1:], u_traj[-1:]], axis=0)
+        result = mpc_solve(gp_t, x, u_prev, u_warm)
         action = result.u[0]
         next_x, reward = plant_step(x, action)
         if learn_online:
@@ -161,9 +166,10 @@ def run_episode_on_device(gp: gp_state.GPState,
             gp_t = gp_state.append(gp_t, xu, target)
         out = dict(state=next_x, action=action, reward=reward,
                    cost=result.cost, iters=result.iters)
-        return (gp_t, next_x, action), out
+        return (gp_t, next_x, action, result.u), out
 
     u0 = jnp.zeros((da,), x0.dtype)
-    (gp_final, _, _), outs = jax.lax.scan(body, (gp, x0, u0), None,
-                                          length=num_steps)
+    traj0 = jnp.zeros((horizon, da), x0.dtype)
+    (gp_final, _, _, _), outs = jax.lax.scan(body, (gp, x0, u0, traj0), None,
+                                             length=num_steps)
     return gp_final, outs
