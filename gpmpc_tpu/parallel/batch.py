@@ -133,96 +133,21 @@ def _tile_params(params: CostParams, b: int, k: int) -> CostParams:
                         is_leaf=lambda v: v is None)
 
 
-def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
-                           x0s: jax.Array, params: CostParams, horizon: int,
-                           lb, ub,
-                           solver: SolverConfig = SolverConfig(),
-                           n_starts: int = 4,
-                           surrogate: Optional[SolverConfig] = None,
-                           surrogate_mode: str = 'frozen',
-                           frozen_rounds: int = 3,
-                           start_scale: float = 0.6,
-                           seed: int = 0,
-                           delta: bool = False,
-                           refine_frozen_rounds: int = 0,
-                           refine_frozen_iters: int = 12,
-                           n_zero_starts: int = 0,
-                           zero_jitter: float = 0.02,
-                           shift_set: tuple = (),
-                           shift_iters: int = 40,
-                           shift_prune: int = 0,
-                           shift_prune_frozen_iters: int = 0,
-                           prune_to: int = 0,
-                           extra_starts: Optional[jax.Array] = None
-                           ) -> SolveResult:
-    """Two-phase global-then-local batched solve — the production recipe for
-    reference-matching solution quality at batch throughput.
-
-    Measured motivation (round-3 probes on the headline workload): the f32
-    solve's local machinery is essentially exact — warm-started at the f64
-    reference solution it stays within 0.1% cost everywhere — but from the
-    cold start u = 0 the chaotic f32 rollout sends ~1/3 of the lanes down a
-    worse BASIN than the f64 path finds (p90 cost excess ~10% no matter how
-    many local iterations are spent). Basin selection, not refinement, is
-    the expensive-precision-critical part; and basin structure comes from
-    the (mean) dynamics' multimodality, not from the uncertainty terms.
-
-    Phase 0 therefore runs `n_starts` starts per scenario (u = 0 plus
-    uniform draws over `start_scale` of the box) against a CHEAP surrogate
-    whose per-iteration cost is O(B N d) instead of the full moment-matching
-    O(B N^2):
-
-      surrogate_mode='mean':   pure mean-only rollout (basin structure only;
-                               gamma-blind — all risk settings see the same
-                               surrogate landscape);
-      surrogate_mode='frozen': `frozen_rounds` cycles of [one FULL rollout to
-                               capture the variance trajectory -> cheap
-                               L-BFGS iterations on the frozen-covariance
-                               objective]. The cost keeps its gamma-weighted
-                               (Q^{-1} + gamma Sigma)^{-1} state weighting,
-                               so risk-averse and risk-seeking lanes shape
-                               their candidates differently; only dSigma/du
-                               is missing from the surrogate gradient.
-
-    Candidates are then scored under the FULL objective (one O(N^2) rollout
-    per start) and the per-scenario best warm-starts phase 1, the full
-    noise-tolerant solve. Optional phases (the round-4 production recipe,
-    measured in benchmarks/results/quality_ms_sweep.json):
-
-      prune_to > 0:        after the first frozen round, only the top
-                           `prune_to` candidates per scenario (by surrogate
-                           cost) pay the remaining phase-0 rounds/scoring;
-      shift_set:           TIME-SHIFT tail fix — the refined winner's
-                           profile shifted by each k in the set is re-refined
-                           `shift_iters` iterations and the per-scenario
-                           best returned (see the phase comment below for
-                           the measured switch-time-basin rationale);
-      shift_prune > 0:     one full forward scores the shifted profiles and
-                           only the top `shift_prune` pay the refinement;
-      refine_frozen_*:     frozen-covariance pre-refinement of the winner
-                           (cheap iterations; measured to underperform full
-                           refinement on quality — off by default);
-      n_zero_starts:       jittered-zero starts (measured to underperform
-                           wide draws — off by default; kept for sweeps);
-      extra_starts:        (E, B, H, da) caller-supplied candidate starts —
-                           e.g. the receding-horizon warm start (previous
-                           step's solved trajectory, typically the incumbent
-                           basin) — appended to the start set so every
-                           control step keeps its warm start in the running
-                           without losing the cold-start/global draws.
-
-    Everything is one jittable computation (no host round trips); combine
-    with solve_batch_staged-style compaction by passing the result's
-    `converged` mask downstream if desired.
-    """
+def _multistart_phase0(cache: RolloutCache, x0s: jax.Array,
+                       params: CostParams, horizon: int, action_dim: int,
+                       lb, ub, surrogate: SolverConfig, surrogate_mode: str,
+                       frozen_rounds: int, start_scale: float, seed: int,
+                       delta: bool, n_zero_starts: int, zero_jitter: float,
+                       prune_to: int,
+                       extra_starts: Optional[jax.Array],
+                       n_starts: int) -> jax.Array:
+    """Global (basin-selection) phase of the multistart recipe: build the
+    start set, surrogate-descend every candidate, optionally prune, score the
+    survivors under the FULL objective, and return the per-scenario winner
+    u0 (B, H, da). Shared by solve_batch_multistart (in-jit recipe) and
+    solve_batch_multistart_retired (host-orchestrated lane retirement)."""
     b = x0s.shape[0]
     k = n_starts
-    cache = build_rollout_cache(gp, state_dim, action_dim)
-    if surrogate is None:
-        # frozen mode iterates per round; mean mode runs once.
-        surrogate = solver.replace(
-            max_iters=(16 if surrogate_mode == 'frozen' else 80), tol=1e-3)
-
     # Starts: u = 0 (the reference's cold start, mpc.py:292-293), optional
     # JITTERED-ZERO starts, and wide box draws. The jittered zeros are
     # descent-PATH diversity, not position diversity: the f64 reference's
@@ -328,8 +253,103 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
     j_full = objective_full_k(u_cand).reshape(k_live, b)     # (K, B)
     j_full = jnp.where(jnp.isfinite(j_full), j_full, jnp.inf)
     best = jnp.argmin(j_full, axis=0)                        # (B,)
-    u0 = u_cand.reshape(k_live, b, horizon, action_dim)[
+    return u_cand.reshape(k_live, b, horizon, action_dim)[
         best, jnp.arange(b)]                                 # (B, H, da)
+
+
+def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
+                           x0s: jax.Array, params: CostParams, horizon: int,
+                           lb, ub,
+                           solver: SolverConfig = SolverConfig(),
+                           n_starts: int = 4,
+                           surrogate: Optional[SolverConfig] = None,
+                           surrogate_mode: str = 'frozen',
+                           frozen_rounds: int = 3,
+                           start_scale: float = 0.6,
+                           seed: int = 0,
+                           delta: bool = False,
+                           refine_frozen_rounds: int = 0,
+                           refine_frozen_iters: int = 12,
+                           n_zero_starts: int = 0,
+                           zero_jitter: float = 0.02,
+                           shift_set: tuple = (),
+                           shift_iters: int = 40,
+                           shift_prune: int = 0,
+                           shift_prune_frozen_iters: int = 0,
+                           prune_to: int = 0,
+                           extra_starts: Optional[jax.Array] = None
+                           ) -> SolveResult:
+    """Two-phase global-then-local batched solve — the production recipe for
+    reference-matching solution quality at batch throughput.
+
+    Measured motivation (round-3 probes on the headline workload): the f32
+    solve's local machinery is essentially exact — warm-started at the f64
+    reference solution it stays within 0.1% cost everywhere — but from the
+    cold start u = 0 the chaotic f32 rollout sends ~1/3 of the lanes down a
+    worse BASIN than the f64 path finds (p90 cost excess ~10% no matter how
+    many local iterations are spent). Basin selection, not refinement, is
+    the expensive-precision-critical part; and basin structure comes from
+    the (mean) dynamics' multimodality, not from the uncertainty terms.
+
+    Phase 0 therefore runs `n_starts` starts per scenario (u = 0 plus
+    uniform draws over `start_scale` of the box) against a CHEAP surrogate
+    whose per-iteration cost is O(B N d) instead of the full moment-matching
+    O(B N^2):
+
+      surrogate_mode='mean':   pure mean-only rollout (basin structure only;
+                               gamma-blind — all risk settings see the same
+                               surrogate landscape);
+      surrogate_mode='frozen': `frozen_rounds` cycles of [one FULL rollout to
+                               capture the variance trajectory -> cheap
+                               L-BFGS iterations on the frozen-covariance
+                               objective]. The cost keeps its gamma-weighted
+                               (Q^{-1} + gamma Sigma)^{-1} state weighting,
+                               so risk-averse and risk-seeking lanes shape
+                               their candidates differently; only dSigma/du
+                               is missing from the surrogate gradient.
+
+    Candidates are then scored under the FULL objective (one O(N^2) rollout
+    per start) and the per-scenario best warm-starts phase 1, the full
+    noise-tolerant solve. Optional phases (the round-4 production recipe,
+    measured in benchmarks/results/quality_ms_sweep.json):
+
+      prune_to > 0:        after the first frozen round, only the top
+                           `prune_to` candidates per scenario (by surrogate
+                           cost) pay the remaining phase-0 rounds/scoring;
+      shift_set:           TIME-SHIFT tail fix — the refined winner's
+                           profile shifted by each k in the set is re-refined
+                           `shift_iters` iterations and the per-scenario
+                           best returned (see the phase comment below for
+                           the measured switch-time-basin rationale);
+      shift_prune > 0:     one full forward scores the shifted profiles and
+                           only the top `shift_prune` pay the refinement;
+      refine_frozen_*:     frozen-covariance pre-refinement of the winner
+                           (cheap iterations; measured to underperform full
+                           refinement on quality — off by default);
+      n_zero_starts:       jittered-zero starts (measured to underperform
+                           wide draws — off by default; kept for sweeps);
+      extra_starts:        (E, B, H, da) caller-supplied candidate starts —
+                           e.g. the receding-horizon warm start (previous
+                           step's solved trajectory, typically the incumbent
+                           basin) — appended to the start set so every
+                           control step keeps its warm start in the running
+                           without losing the cold-start/global draws.
+
+    Everything is one jittable computation (no host round trips); combine
+    with solve_batch_staged-style compaction by passing the result's
+    `converged` mask downstream if desired.
+    """
+    b = x0s.shape[0]
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    if surrogate is None:
+        # frozen mode iterates per round; mean mode runs once.
+        surrogate = solver.replace(
+            max_iters=(16 if surrogate_mode == 'frozen' else 80), tol=1e-3)
+
+    u0 = _multistart_phase0(cache, x0s, params, horizon, action_dim, lb, ub,
+                            surrogate, surrogate_mode, frozen_rounds,
+                            start_scale, seed, delta, n_zero_starts,
+                            zero_jitter, prune_to, extra_starts, n_starts)
 
     params_axes = _params_axes(params, b)
     cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
@@ -466,6 +486,260 @@ def solve_batch_multistart(gp: GPState, state_dim: int, action_dim: int,
                        iters=res.iters + pick(res_s.iters),
                        pg_norm=sel(res.pg_norm, pick(res_s.pg_norm)),
                        converged=sel(res.converged, pick(res_s.converged)))
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=(
+    'state_dim', 'action_dim', 'horizon', 'surrogate_mode', 'frozen_rounds',
+    'n_starts', 'prune_to', 'n_zero_starts', 'delta', 'seed'))
+def _retired_phase_a(gp, x0s, params, lb, ub, extra_starts, solver1,
+                     surrogate, start_scale, zero_jitter,
+                     state_dim, action_dim, horizon, surrogate_mode,
+                     frozen_rounds, n_starts, prune_to, n_zero_starts,
+                     delta, seed) -> SolveResult:
+    """Jitted program A of the retired recipe: phase-0 basin selection + the
+    first `solver1.max_iters` full-objective refinement iterations at full
+    batch width."""
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    u0 = _multistart_phase0(cache, x0s, params, horizon, action_dim, lb, ub,
+                            surrogate, surrogate_mode, frozen_rounds,
+                            start_scale, seed, delta, n_zero_starts,
+                            zero_jitter, prune_to, extra_starts, n_starts)
+    params_axes = _params_axes(params)
+    cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
+
+    def objective_full(u):
+        means, covs = rollout_batched(cache, x0s, u, delta=delta)
+        return cost_b(params, means, covs, u)
+
+    return solve_trajectory_batched(objective_full, u0, lb, ub, solver1)
+
+
+@_functools.partial(jax.jit, static_argnames=(
+    'state_dim', 'action_dim', 'delta'))
+def _refine_chunk(gp, x0s_c, params_c, u_init_c, lb, ub, solver_c,
+                  state_dim, action_dim, delta) -> SolveResult:
+    """Jitted warm-started full-objective refinement of a compacted lane
+    chunk (programs B and D of the retired recipe — same program, two
+    budgets)."""
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    params_axes = _params_axes(params_c)
+    cost_b = jax.vmap(risk_sensitive_cost, in_axes=(params_axes, 0, 0, 0))
+
+    def objective(u):
+        means, covs = rollout_batched(cache, x0s_c, u, delta=delta)
+        return cost_b(params_c, means, covs, u)
+
+    return solve_trajectory_batched(objective, u_init_c, lb, ub, solver_c)
+
+
+def _shift_u_batch(u, kk):
+    """Whole-profile time shift of (B, H, da) trajectories: kk > 0 delays
+    (first action repeated), kk < 0 advances (last action held)."""
+    if kk > 0:
+        return jnp.concatenate(
+            [jnp.repeat(u[:, :1], kk, axis=1), u[:, :-kk]], axis=1)
+    kk = -kk
+    return jnp.concatenate(
+        [u[:, kk:], jnp.repeat(u[:, -1:], kk, axis=1)], axis=1)
+
+
+@_functools.partial(jax.jit, static_argnames=(
+    'state_dim', 'action_dim', 'delta', 'shift_set', 'smooth_iters'))
+def _shift_score(gp, x0s, params, u_inc, lb, ub, smooth_solver,
+                 state_dim, action_dim, delta, shift_set, smooth_iters):
+    """Jitted program C of the retired recipe: propose the incumbent's
+    time-shifted profiles, frozen-smooth the seams (`smooth_iters` cheap
+    iterations — a raw shifted profile's score can bury a shift that wins
+    after refinement), and score everything under the full objective.
+
+    Returns (u_sh (Ks, B, H, da) smoothed candidates incl. the incumbent at
+    index 0, j_pre (Ks, B) finite-guarded full-objective scores)."""
+    b, horizon, action_dim_u = u_inc.shape
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    ks = 1 + len(shift_set)
+    u_sh = jnp.concatenate(
+        [u_inc] + [_shift_u_batch(u_inc, kk) for kk in shift_set],
+        axis=0)                                               # (Ks*B, H, da)
+    params_s = _tile_params(params, b, ks)
+    x0s_s = jnp.tile(x0s, (ks, 1))
+    axes_s = _params_axes(params_s)
+    cost_s = jax.vmap(risk_sensitive_cost, in_axes=(axes_s, 0, 0, 0))
+
+    def objective_full_s(u):
+        means, covs = rollout_batched(cache, x0s_s, u, delta=delta)
+        return cost_s(params_s, means, covs, u)
+
+    if smooth_iters > 0:
+        _, covs_sh = rollout_batched(cache, x0s_s, u_sh, delta=delta)
+        cov_sh = jax.lax.stop_gradient(
+            jnp.diagonal(covs_sh, axis1=2, axis2=3))
+
+        def objective_frozen_s(u):
+            means, cv = rollout_batched(cache, x0s_s, u, delta=delta,
+                                        frozen_cov_diag=cov_sh)
+            return cost_s(params_s, means, cv, u)
+
+        u_sh = solve_trajectory_batched(
+            objective_frozen_s, u_sh, lb, ub,
+            smooth_solver.replace(max_iters=smooth_iters)).u
+
+    j_pre = objective_full_s(u_sh).reshape(ks, b)
+    j_pre = jnp.where(jnp.isfinite(j_pre), j_pre, jnp.inf)
+    return u_sh.reshape(ks, b, horizon, action_dim_u), j_pre
+
+
+def solve_batch_multistart_retired(
+        gp: GPState, state_dim: int, action_dim: int,
+        x0s: jax.Array, params: CostParams, horizon: int,
+        lb, ub,
+        solver: SolverConfig = SolverConfig(),
+        n_starts: int = 8,
+        prune_to: int = 4,
+        surrogate: Optional[SolverConfig] = None,
+        surrogate_mode: str = 'frozen',
+        frozen_rounds: int = 3,
+        start_scale: float = 0.6,
+        seed: int = 0,
+        delta: bool = False,
+        n_zero_starts: int = 0,
+        zero_jitter: float = 0.02,
+        extra_starts: Optional[jax.Array] = None,
+        budget1: int = 24,
+        tail_divisor: int = 4,
+        shift_set: tuple = (1, -1, 2, -2),
+        shift_iters: int = 32,
+        shift_top: int = 2,
+        shift_smooth_iters: int = 8,
+        shift_margin: float = 0.05) -> SolveResult:
+    """The multistart production recipe with CONVERGED-LANE RETIREMENT — the
+    round-5 composition of solve_batch_multistart and solve_batch_staged
+    (VERDICT r4 item 1). Host-orchestrated; four compiled programs.
+
+    Where the in-jit recipe (solve_batch_multistart) spends its two expensive
+    phases at full lockstep width regardless of per-lane state, this driver
+    retires lanes as soon as they stop needing budget:
+
+      A. phase-0 basin selection + `budget1` full-refinement iterations at
+         full width B (jitted; identical math to the in-jit recipe);
+      B. lanes NOT self-terminated after budget1 are GATHERED into compacted
+         chunks of B // tail_divisor and continued warm-started up to the
+         full `solver.max_iters` budget — converged lanes stop paying;
+      C. shift proposal for ALL lanes (cheap: frozen seam-smoothing + one
+         full forward score — the candidate generation of the round-4
+         time-shift tail fix);
+      D. the expensive `shift_iters` full-objective shift refinement runs
+         ONLY for lanes where some smoothed shift scores within
+         `shift_margin` (relative, 1+|cost| normalized) of the incumbent —
+         measured, most lanes' shifts score far worse and were paying the
+         full refinement for nothing. Selected lanes refine their
+         `shift_top` best candidates in chunks sized so program D reuses
+         program B's compiled shape.
+
+    A lane's final result can never be worse than its phase-A/B incumbent:
+    shift replacements apply only on strict cost improvement (the advisor-r4
+    incumbent guarantee holds by construction).
+    """
+    import numpy as np
+
+    b = x0s.shape[0]
+    if surrogate is None:
+        surrogate = solver.replace(
+            max_iters=(16 if surrogate_mode == 'frozen' else 80), tol=1e-3)
+    budget1 = min(budget1, solver.max_iters)
+    lb_j = jnp.asarray(lb, x0s.dtype)
+    ub_j = jnp.asarray(ub, x0s.dtype)
+
+    res1 = _retired_phase_a(
+        gp, x0s, params, lb_j, ub_j, extra_starts,
+        solver.replace(max_iters=budget1), surrogate,
+        jnp.asarray(start_scale, x0s.dtype),
+        jnp.asarray(zero_jitter, x0s.dtype),
+        state_dim, action_dim, horizon, surrogate_mode, frozen_rounds,
+        n_starts, prune_to, n_zero_starts, delta, seed)
+
+    u = np.array(res1.u)
+    cost = np.array(res1.cost)
+    iters = np.array(res1.iters)
+    pg = np.array(res1.pg_norm)
+    conv = np.asarray(res1.converged).copy()
+
+    # B: compacted continuation of the unconverged tail (restart semantics —
+    # fresh L-BFGS memory — matching solve_batch_staged).
+    chunk = max(1, b // tail_divisor)
+    todo = np.nonzero(~conv)[0]
+    if todo.size and solver.max_iters > budget1:
+        solver2 = solver.replace(max_iters=solver.max_iters - budget1)
+        n_pad = (-todo.size) % chunk
+        todo_p = np.concatenate([todo, np.full(n_pad, todo[0], todo.dtype)])
+        for c0 in range(0, todo_p.size, chunk):
+            idx = jnp.asarray(todo_p[c0:c0 + chunk])
+            res2 = _refine_chunk(gp, x0s[idx], _gather_params(params, b, idx),
+                                 res1.u[idx], lb_j, ub_j, solver2,
+                                 state_dim, action_dim, delta)
+            idx_np = np.asarray(idx)
+            # Padded duplicates recompute the same deterministic result.
+            u[idx_np] = np.asarray(res2.u)
+            cost[idx_np] = np.asarray(res2.cost)
+            iters[idx_np] = budget1 + np.asarray(res2.iters)
+            pg[idx_np] = np.asarray(res2.pg_norm)
+            conv[idx_np] = np.asarray(res2.converged)
+
+    if not shift_set:
+        return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
+                           iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
+                           converged=jnp.asarray(conv))
+
+    # C: propose + smooth + score shifts for every lane (cheap).
+    u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j, ub_j,
+                               solver, state_dim, action_dim, delta,
+                               tuple(shift_set), shift_smooth_iters)
+    u_sh = np.asarray(u_sh)                                   # (Ks, B, H, da)
+    j_pre = np.asarray(j_pre)                                 # (Ks, B)
+
+    # D: gate — only lanes where some SHIFTED candidate's smoothed score
+    # lands within shift_margin of the incumbent pay the full refinement.
+    # (The incumbent's own smoothed score, j_pre[0], is excluded from the
+    # gate: it is always ~cost.)
+    margin = shift_margin * (1.0 + np.abs(cost))
+    worthy = np.nonzero(np.min(j_pre[1:], axis=0) < cost + margin)[0]
+    if worthy.size:
+        shift_top = min(shift_top, 1 + len(shift_set))
+        # Chunk so program D's batch width equals program B's (chunk):
+        # one compiled refinement program serves both phases per budget.
+        lanes_per_chunk = max(1, chunk // shift_top)
+        solver_d = solver.replace(max_iters=shift_iters)
+        n_pad = (-worthy.size) % lanes_per_chunk
+        worthy_p = np.concatenate(
+            [worthy, np.full(n_pad, worthy[0], worthy.dtype)])
+        for c0 in range(0, worthy_p.size, lanes_per_chunk):
+            lanes = worthy_p[c0:c0 + lanes_per_chunk]         # (L,)
+            order = np.argsort(j_pre[:, lanes], axis=0)[:shift_top]  # (T, L)
+            u_init_c = u_sh[order, lanes].reshape(
+                shift_top * lanes.size, horizon, action_dim)
+            idx_t = jnp.asarray(np.tile(lanes, shift_top))
+            res_d = _refine_chunk(gp, x0s[idx_t],
+                                  _gather_params(params, b, idx_t),
+                                  jnp.asarray(u_init_c), lb_j, ub_j, solver_d,
+                                  state_dim, action_dim, delta)
+            j_d = np.asarray(res_d.cost).reshape(shift_top, lanes.size)
+            j_d = np.where(np.isfinite(j_d), j_d, np.inf)
+            best_t = np.argmin(j_d, axis=0)                   # (L,)
+            j_best = j_d[best_t, np.arange(lanes.size)]
+            u_d = np.asarray(res_d.u).reshape(
+                shift_top, lanes.size, horizon, action_dim)
+            improve = j_best < cost[lanes]
+            upd = lanes[improve]
+            u[upd] = u_d[best_t[improve], np.nonzero(improve)[0]]
+            cost[upd] = j_best[improve]
+            iters[lanes] = iters[lanes] + np.asarray(res_d.iters).reshape(
+                shift_top, lanes.size).max(axis=0)
+
+    return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
+                       iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
+                       converged=jnp.asarray(conv))
 
 
 def _gather_params(params: CostParams, b: int, idx) -> CostParams:
