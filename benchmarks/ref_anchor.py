@@ -95,17 +95,50 @@ def solve_reference(mpc, x0, lb=-5.0, ub=5.0, maxiter=300, tol=1e-4):
 
 
 def main():
+    import torch
+
     mpc = make_reference_problem()
     rng = np.random.default_rng(0)
-    x0s = rng.uniform(-1, 1, (8, 2))
+    x0s = rng.uniform(-1, 1, (16, 2))
 
-    _ = solve_reference(mpc, x0s[0], maxiter=5)       # torch warmup
-    lat, nit = [], []
+    # --- direct per-callback latency: one IPOPT/L-BFGS-B iterate costs one
+    # objective (torch rollout forward) + one gradient (cached backward,
+    # src/mpc.py:231-255). Measured at random interior points, which avoids
+    # the reference's cold-start NaN region (see below). -------------------
+    n = mpc.horizon * mpc.input_dim
+    mpc.curr_state = torch.tensor(x0s[0], dtype=torch.float64,
+                                  device=mpc.device)
+    _ = mpc.objective(rng.uniform(-1, 1, n))          # torch warmup
+    _ = mpc.gradient(rng.uniform(-1, 1, n))
+    cb = []
+    for _ in range(20):
+        u = rng.uniform(-2, 2, n)
+        t0 = time.perf_counter()
+        _ = mpc.objective(u)
+        _ = mpc.gradient(u)
+        cb.append(time.perf_counter() - t0)
+    callback_ms_p50 = 1000.0 * float(np.percentile(cb, 50))
+
+    # --- full solves. IMPORTANT measured fact (round 5): the REFERENCE
+    # rollout itself produces NEGATIVE variances -> NaN from the cold start
+    # u = 0 on a fraction of initial states of this workload (its moment
+    # matching has no variance floor and its cost no PD guard — the exact
+    # hardening SURVEY.md hard-part 5 calls for and gpmpc_tpu implements).
+    # scipy then aborts with nit=0 after burning the line-search budget —
+    # the source of round 4's bogus iters_p50=0. Aborted solves are counted
+    # separately; latency percentiles use successful solves only
+    # (conservative: aborts cost MORE wall time than successes). ----------
+    lat, nit, nfev, aborted = [], [], [], 0
     for x0 in x0s:
         t0 = time.perf_counter()
         res = solve_reference(mpc, x0)
-        lat.append(time.perf_counter() - t0)
+        dt_s = time.perf_counter() - t0
+        if int(res.nit) == 0 or not np.isfinite(res.fun):
+            aborted += 1
+            continue
+        lat.append(dt_s)
         nit.append(int(res.nit))
+        nfev.append(int(res.nfev))
     out = {
         'what': ('reference-stack per-step control latency: unmodified '
                  'src/mpc.py objective/gradient callbacks (torch f64 '
@@ -115,12 +148,23 @@ def main():
                  '(install prohibited) — see module docstring for why this '
                  'UNDERSTATES true IPOPT latency'),
         'horizon': 20, 'n_train': 200, 'n_solves': len(x0s),
-        'latency_s_p50': float(np.percentile(lat, 50)),
-        'latency_s_min': float(np.min(lat)),
-        'latency_s_max': float(np.max(lat)),
-        'iters_p50': float(np.percentile(nit, 50)),
+        'n_aborted_nan': aborted,
+        'abort_note': ('aborted = reference rollout NaN (negative variance, '
+                       'no floor) from the cold start; excluded from '
+                       'latency percentiles'),
+        'callback_ms_p50': callback_ms_p50,
+        'latency_s_p50': float(np.percentile(lat, 50)) if lat else None,
+        'latency_s_min': float(np.min(lat)) if lat else None,
+        'latency_s_max': float(np.max(lat)) if lat else None,
+        'iters_p50': float(np.percentile(nit, 50)) if nit else None,
+        'nfev_p50': float(np.percentile(nfev, 50)) if nfev else None,
         'per_iterate_ms_p50': float(np.percentile(
-            [1000.0 * t / max(k, 1) for t, k in zip(lat, nit)], 50)),
+            [1000.0 * t / max(k, 1) for t, k in zip(lat, nfev)], 50))
+        if lat else None,
+        'ref_budget_solve_s_est': (
+            callback_ms_p50 / 1000.0 * 300,
+            'callback p50 x the reference max_iter=300 budget '
+            '(src/mpc.py:313)'),
     }
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            'results')

@@ -613,7 +613,9 @@ def solve_batch_multistart_retired(
         shift_iters: int = 32,
         shift_top: int = 2,
         shift_smooth_iters: int = 8,
-        shift_margin: float = 0.05) -> SolveResult:
+        shift_margin: float = 0.005,
+        shift_lanes_per_chunk: Optional[int] = None,
+        diag: Optional[dict] = None) -> SolveResult:
     """The multistart production recipe with CONVERGED-LANE RETIREMENT — the
     round-5 composition of solve_batch_multistart and solve_batch_staged
     (VERDICT r4 item 1). Host-orchestrated; four compiled programs.
@@ -670,6 +672,8 @@ def solve_batch_multistart_retired(
     # fresh L-BFGS memory — matching solve_batch_staged).
     chunk = max(1, b // tail_divisor)
     todo = np.nonzero(~conv)[0]
+    if diag is not None:
+        diag['n_tail'] = int(todo.size)
     if todo.size and solver.max_iters > budget1:
         solver2 = solver.replace(max_iters=solver.max_iters - budget1)
         n_pad = (-todo.size) % chunk
@@ -705,11 +709,19 @@ def solve_batch_multistart_retired(
     # gate: it is always ~cost.)
     margin = shift_margin * (1.0 + np.abs(cost))
     worthy = np.nonzero(np.min(j_pre[1:], axis=0) < cost + margin)[0]
+    if diag is not None:
+        diag['n_shift_worthy'] = int(worthy.size)
     if worthy.size:
         shift_top = min(shift_top, 1 + len(shift_set))
-        # Chunk so program D's batch width equals program B's (chunk):
-        # one compiled refinement program serves both phases per budget.
-        lanes_per_chunk = max(1, chunk // shift_top)
+        # Default chunking makes program D's batch width equal program B's
+        # (chunk) so one compiled refinement program can serve both phases;
+        # measured on TPU the shift-gate admission is ~20% of lanes
+        # (phase_probe.json), so callers typically set shift_lanes_per_chunk
+        # to cover the admitted set in ONE dispatch (width scaling is
+        # sub-linear — one wide dispatch beats several narrow ones by the
+        # ~30 ms/dispatch tunnel overhead).
+        lanes_per_chunk = (shift_lanes_per_chunk
+                           or max(1, chunk // shift_top))
         solver_d = solver.replace(max_iters=shift_iters)
         n_pad = (-worthy.size) % lanes_per_chunk
         worthy_p = np.concatenate(
