@@ -66,6 +66,103 @@ def make_headline_problem(b: int = 256, dtype=None, seed: int = 0,
                            params=params, horizon=horizon, lb=-5.0, ub=5.0)
 
 
+def cartpole_data(n_train: int, seed: int = 0):
+    """Backend-independent cartpole transitions: NUMPY rng + host f64 physics
+    (exact twin of envs.cartpole.step_physics) so the dataset is bit-identical
+    in every process — jax.random resolves to different PRNG implementations
+    on this machine's TPU vs CPU (see make_cartpole_problem note).
+    Returns (x (n, 5), next_states (n, 4)) float64."""
+    from gpmpc_tpu.envs import cartpole as cp
+
+    rng0 = np.random.default_rng(seed)
+    st = np.stack([rng0.uniform(-2.4, 2.4, n_train),
+                   rng0.uniform(-2.0, 2.0, n_train),
+                   rng0.uniform(-np.pi / 4, np.pi / 4, n_train),
+                   rng0.uniform(-2.0, 2.0, n_train)], axis=1)
+    ac = rng0.uniform(-1.0, 1.0, (n_train, 1))
+    pp = cp.CartPoleParams()
+    force = pp.force_mag * ac[:, 0]
+    xp, xd, th, thd = st[:, 0], st[:, 1], st[:, 2], st[:, 3]
+    total_mass = pp.masscart + pp.masspole
+    pml = pp.masspole * pp.length
+    ct, stn = np.cos(th), np.sin(th)
+    temp = (force + pml * thd ** 2 * stn) / total_mass
+    thacc = (pp.gravity * stn - ct * temp) / (
+        pp.length * (4.0 / 3.0 - pp.masspole * ct ** 2 / total_mass))
+    xacc = temp - pml * thacc * ct / total_mass
+    ns = np.stack([xp + pp.tau * xd, xd + pp.tau * xacc,
+                   th + pp.tau * thd, thd + pp.tau * thacc], axis=1)
+    return np.concatenate([st, ac], axis=1), ns
+
+
+def make_sparse_cartpole_problem(b: int = 256, dtype=None, seed: int = 0,
+                                 n_train: int = 1000, m: int = 128,
+                                 horizon: int = 10) -> HeadlineProblem:
+    """Suite config 3b's workload with backend-independent data: cartpole
+    N=1000 through the FITC sparse GP (M=128), gamma=0, H=10, bounds +-1."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.gp import sparse as gsp
+    from gpmpc_tpu.mpc.cost import CostParams
+
+    if dtype is None:
+        dtype = jnp.float32
+    ds, da = 4, 1
+    x, ns = cartpole_data(n_train, seed)
+    rng = np.random.default_rng(seed + 3)
+    sel = rng.choice(n_train, m, replace=False)
+    z = jnp.asarray(x[sel], dtype)
+    sp, _ml = gsp.fit_sparse(z, jnp.asarray(x, dtype),
+                             jnp.asarray(ns, dtype).T,
+                             jnp.log(jnp.full((ds, ds + da), 2.0, dtype)),
+                             jnp.zeros((ds,), dtype),
+                             jnp.full((ds,), np.log(0.1), dtype))
+    x0s = jnp.asarray(rng.uniform(-0.2, 0.2, (b, ds)), dtype)
+    params = CostParams(Q=jnp.eye(ds, dtype=dtype),
+                        R=0.1 * jnp.eye(da, dtype=dtype),
+                        gamma=jnp.zeros((), dtype),
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    return HeadlineProblem(gp=sp, state_dim=ds, action_dim=da, x0s=x0s,
+                           params=params, horizon=horizon, lb=-1.0, ub=1.0)
+
+
+def make_sparse_fullcov_problem(b: int = 64, dtype=None, seed: int = 0,
+                                n_train: int = 1000, m: int = 128,
+                                horizon: int = 50) -> HeadlineProblem:
+    """Suite config 4's workload: pendulum-dimension FITC sparse GP (M=128),
+    FULL cross-output covariance propagation, H=50, gamma=-1e-2."""
+    import jax.numpy as jnp
+
+    from gpmpc_tpu.gp import sparse as gsp
+    from gpmpc_tpu.gp import state as gs
+    from gpmpc_tpu.mpc.cost import CostParams
+
+    if dtype is None:
+        dtype = jnp.float32
+    ds, da = 2, 1
+    rng = np.random.default_rng(seed)
+    states = rng.uniform(-np.pi, np.pi, (n_train, ds))
+    actions = rng.uniform(-5, 5, (n_train, da))
+    next_states = states + 0.05 * np.concatenate(
+        [states[:, 1:], 15 * np.sin(states[:, :1]) + 3 * actions], axis=1)
+    x = np.concatenate([states, actions], axis=1)
+    rng4 = np.random.default_rng(seed + 4)
+    sel = rng4.choice(n_train, m, replace=False)
+    z = jnp.asarray(x[sel], dtype)
+    sp, _ml = gsp.fit_sparse(z, jnp.asarray(x, dtype),
+                             jnp.asarray(next_states, dtype).T,
+                             jnp.log(jnp.full((ds, ds + da), 4.0, dtype)),
+                             jnp.zeros((ds,), dtype),
+                             jnp.full((ds,), np.log(0.1), dtype))
+    x0s = jnp.asarray(rng4.uniform(-1, 1, (b, ds)), dtype)
+    params = CostParams(Q=2.0 * jnp.eye(ds, dtype=dtype),
+                        R=0.01 * jnp.eye(da, dtype=dtype),
+                        gamma=jnp.asarray(-1e-2, dtype),
+                        x_ref=jnp.zeros(ds, dtype), u_ref=jnp.zeros(da, dtype))
+    return HeadlineProblem(gp=sp, state_dim=ds, action_dim=da, x0s=x0s,
+                           params=params, horizon=horizon, lb=-5.0, ub=5.0)
+
+
 def make_cartpole_problem(b: int = 32, dtype=None, seed: int = 0,
                           n_train: int = 200, capacity: int = 256,
                           horizon: int = 10) -> HeadlineProblem:
