@@ -116,6 +116,12 @@ CONFIGS = {
         shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64), dict(max_iters=48)),
+    # + second shift round (iterate-until-dry on the tail fix).
+    'ret_gated_s2': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2)),
 }
 
 

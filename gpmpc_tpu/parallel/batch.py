@@ -615,6 +615,7 @@ def solve_batch_multistart_retired(
         shift_smooth_iters: int = 8,
         shift_margin: float = 0.005,
         shift_lanes_per_chunk: Optional[int] = None,
+        shift_rounds: int = 1,
         diag: Optional[dict] = None) -> SolveResult:
     """The multistart production recipe with CONVERGED-LANE RETIREMENT — the
     round-5 composition of solve_batch_multistart and solve_batch_staged
@@ -638,7 +639,9 @@ def solve_batch_multistart_retired(
          measured, most lanes' shifts score far worse and were paying the
          full refinement for nothing. Selected lanes refine their
          `shift_top` best candidates in chunks sized so program D reuses
-         program B's compiled shape.
+         program B's compiled shape. C+D iterate up to `shift_rounds` times
+         (a basin jump can expose a further profitable shift); rounds stop
+         early when no lane improves.
 
     A lane's final result can never be worse than its phase-A/B incumbent:
     shift replacements apply only on strict cost improvement (the advisor-r4
@@ -696,23 +699,32 @@ def solve_batch_multistart_retired(
                            iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
                            converged=jnp.asarray(conv))
 
-    # C: propose + smooth + score shifts for every lane (cheap).
-    u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j, ub_j,
-                               solver, state_dim, action_dim, delta,
-                               tuple(shift_set), shift_smooth_iters)
-    u_sh = np.asarray(u_sh)                                   # (Ks, B, H, da)
-    j_pre = np.asarray(j_pre)                                 # (Ks, B)
+    # C + D, iterated until dry (shift_rounds cap): a lane whose incumbent
+    # just JUMPED basins via a shift can expose a further profitable shift
+    # (switch-time misalignment can be >2 steps — outside shift_set's reach
+    # in one application); re-proposing from the updated incumbents is cheap
+    # because round r >= 2 admits only lanes still showing improving shifts.
+    shift_top = min(shift_top, 1 + len(shift_set))
+    for rnd in range(shift_rounds):
+        # C: propose + smooth + score shifts for every lane (cheap).
+        u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
+                                   ub_j, solver, state_dim, action_dim, delta,
+                                   tuple(shift_set), shift_smooth_iters)
+        u_sh = np.asarray(u_sh)                               # (Ks, B, H, da)
+        j_pre = np.asarray(j_pre)                             # (Ks, B)
 
-    # D: gate — only lanes where some SHIFTED candidate's smoothed score
-    # lands within shift_margin of the incumbent pay the full refinement.
-    # (The incumbent's own smoothed score, j_pre[0], is excluded from the
-    # gate: it is always ~cost.)
-    margin = shift_margin * (1.0 + np.abs(cost))
-    worthy = np.nonzero(np.min(j_pre[1:], axis=0) < cost + margin)[0]
-    if diag is not None:
-        diag['n_shift_worthy'] = int(worthy.size)
-    if worthy.size:
-        shift_top = min(shift_top, 1 + len(shift_set))
+        # D: gate — only lanes where some SHIFTED candidate's smoothed score
+        # lands within shift_margin of the incumbent pay the full refinement.
+        # (The incumbent's own smoothed score, j_pre[0], is excluded from the
+        # gate: it is always ~cost.)
+        margin = shift_margin * (1.0 + np.abs(cost))
+        worthy = np.nonzero(np.min(j_pre[1:], axis=0) < cost + margin)[0]
+        if diag is not None:
+            diag[f'n_shift_worthy_r{rnd}'] = int(worthy.size)
+            if rnd == 0:
+                diag['n_shift_worthy'] = int(worthy.size)
+        if not worthy.size:
+            break
         # Default chunking makes program D's batch width equal program B's
         # (chunk) so one compiled refinement program can serve both phases;
         # measured on TPU the shift-gate admission is ~20% of lanes
@@ -726,6 +738,7 @@ def solve_batch_multistart_retired(
         n_pad = (-worthy.size) % lanes_per_chunk
         worthy_p = np.concatenate(
             [worthy, np.full(n_pad, worthy[0], worthy.dtype)])
+        n_improved = 0
         for c0 in range(0, worthy_p.size, lanes_per_chunk):
             lanes = worthy_p[c0:c0 + lanes_per_chunk]         # (L,)
             order = np.argsort(j_pre[:, lanes], axis=0)[:shift_top]  # (T, L)
@@ -744,10 +757,13 @@ def solve_batch_multistart_retired(
                 shift_top, lanes.size, horizon, action_dim)
             improve = j_best < cost[lanes]
             upd = lanes[improve]
+            n_improved += int(improve.sum())
             u[upd] = u_d[best_t[improve], np.nonzero(improve)[0]]
             cost[upd] = j_best[improve]
             iters[lanes] = iters[lanes] + np.asarray(res_d.iters).reshape(
                 shift_top, lanes.size).max(axis=0)
+        if n_improved == 0:
+            break
 
     return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
                        iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
