@@ -58,17 +58,30 @@ def main():
     rng = np.random.default_rng(5)
 
     def timed(fn, *args, n_rep=3):
+        # Fresh first operand per rep (identical buffers can hit the axon
+        # execution cache); outputs are scalar (ceiling kernels) or small
+        # (the solve's u) so materializing costs ~nothing but forces
+        # execution on the deferred backend.
         o = fn(*args)
         jax.block_until_ready(o)
+        variants = [jnp.asarray(np.asarray(args[0])
+                                * (1.0 + 1e-6 * (i + 1)), args[0].dtype)
+                    for i in range(n_rep)]
+        jax.block_until_ready(variants)
         reps = []
-        for _ in range(n_rep):
+        for i in range(n_rep):
             t0 = time.perf_counter()
-            o = fn(*args)
-            _ = np.asarray(jax.tree.leaves(o)[0]).ravel()[:1]
+            o = fn(variants[i], *args[1:])
+            _ = np.asarray(jax.tree.leaves(o)[0])
             reps.append(time.perf_counter() - t0)
         return min(reps)
 
     out = {'ceilings': {}, 'per_iter': {}, 'utilization': {}}
+
+    # All ceiling kernels REDUCE to a scalar inside the jit: fetching a large
+    # output through this environment's remote tunnel costs seconds and
+    # otherwise dominates the measurement (the first cut of this script
+    # "measured" 0.6 TFLOP/s — it was timing a 1 GiB host transfer).
 
     # ---- ceiling 1: MXU bf16 matmul ------------------------------------
     mm_n = 8192
@@ -77,18 +90,20 @@ def main():
 
     @jax.jit
     def mm(a, bmat):
-        # 4 chained matmuls amortize dispatch + fetch.
+        # 4 chained matmuls amortize dispatch; scalar output.
         x = a @ bmat
         x = x @ bmat
         x = x @ bmat
-        return x @ bmat
+        x = x @ bmat
+        return jnp.sum(x.astype(jnp.float32))
 
     t = timed(mm, a, bmat)
     mm_tflops = 4 * 2 * mm_n ** 3 / t / 1e12
     out['ceilings']['matmul_bf16_tflops'] = round(mm_tflops, 1)
 
-    # ---- ceiling 2: exp pipelines (compute-bound chain: 16 exps/element,
-    # HBM amortized 16x) --------------------------------------------------
+    # ---- ceiling 2: exp pipelines. 16 chained exps per element (each
+    # depends on the previous — not fusable away); XLA fuses chain + sum
+    # into one pass, so HBM traffic is one read — compute-bound. -----------
     ex_shape = (4096, 4096)
     xin = jnp.asarray(rng.uniform(-1, 0, ex_shape), jnp.float32)
 
@@ -98,7 +113,7 @@ def main():
             acc = x
             for _ in range(16):
                 acc = fn(acc * jnp.float32(-0.9) - jnp.float32(0.05))
-            return acc
+            return jnp.sum(acc)
         return run
 
     n_exp = 16 * ex_shape[0] * ex_shape[1]
@@ -109,16 +124,18 @@ def main():
     out['ceilings']['exp_exact_gexp_s'] = round(exp_exact_gexps, 1)
     out['ceilings']['exp_hw_gexp_s'] = round(exp_hw_gexps, 1)
 
-    # ---- ceiling 3: HBM bandwidth (copy: read + write 4B/elem) ----------
+    # ---- ceiling 3: HBM stream-read bandwidth: matvec reads the 1 GiB
+    # operand once (2N^2 flops — trivially bandwidth-bound), tiny output. --
     big = jnp.asarray(rng.normal(size=(16384, 16384)), jnp.float32)  # 1 GiB
+    ones = jnp.ones((16384,), jnp.float32)
 
     @jax.jit
-    def cp(x):
-        return x + jnp.float32(1.0)
+    def mv(x, v):
+        return jnp.sum(x @ v)
 
-    t = timed(cp, big)
-    hbm_gbs = 2 * big.size * 4 / t / 1e9
-    out['ceilings']['hbm_gb_s'] = round(hbm_gbs, 1)
+    t = timed(mv, big, ones)
+    hbm_gbs = big.size * 4 / t / 1e9
+    out['ceilings']['hbm_read_gb_s'] = round(hbm_gbs, 1)
 
     # ---- per-iteration analytic counts at the headline shape ------------
     b, horizon = 256, 20
@@ -169,7 +186,7 @@ def main():
     util = {
         'exp_pipe': exps_per_iter / iter_s / exp_ceiling,
         'mxu': mxu_per_iter / iter_s / (mm_tflops * 1e12),
-        'hbm': hbm_per_iter / iter_s / (hbm_gbs * 1e9),
+        'hbm_read': hbm_per_iter / iter_s / (hbm_gbs * 1e9),
     }
     out['utilization'] = {k: round(v, 3) for k, v in util.items()}
     out['bound'] = max(util, key=util.get)
