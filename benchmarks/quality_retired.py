@@ -122,6 +122,21 @@ CONFIGS = {
         shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64, shift_rounds=2)),
+    # FROZEN-HEAVY refine: most of the descent on the 1/9-cost frozen
+    # objective (2 rounds x 24 iters, cov refreshed per round), 24 full
+    # polish iterations, gated shift.
+    'ret_gated_fz24': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=24, tail_divisor=4,
+        frozen_rounds=2, refine_frozen_rounds=2, refine_frozen_iters=24,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64), dict(max_iters=24)),
+    'ret_gated_fz32': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=32, tail_divisor=4,
+        frozen_rounds=2, refine_frozen_rounds=2, refine_frozen_iters=24,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64), dict(max_iters=32)),
 }
 
 

@@ -78,85 +78,109 @@ def main():
 
     out = {'ceilings': {}, 'per_iter': {}, 'utilization': {}}
 
-    # All ceiling kernels REDUCE to a scalar inside the jit: fetching a large
-    # output through this environment's remote tunnel costs seconds and
-    # otherwise dominates the measurement (the first cut of this script
-    # "measured" 0.6 TFLOP/s — it was timing a 1 GiB host transfer).
+    # Every ceiling is measured by DIFFERENCING two inner-repetition counts:
+    # ceiling = extra work / (t(k2) - t(k1)). Per-dispatch overhead through
+    # this environment's remote tunnel is ~30 ms and otherwise pollutes any
+    # single measurement (the first two cuts of this script "measured"
+    # 0.6 TFLOP/s / 10 Gexp/s — host-transfer resp. dispatch overhead).
+    # All kernels reduce to a scalar inside jit.
 
-    # ---- ceiling 1: MXU bf16 matmul ------------------------------------
+    def slope(make_fn, work_per_k, args, k1=4, k2=16):
+        t1 = timed(make_fn(k1), *args)
+        t2 = timed(make_fn(k2), *args)
+        return (k2 - k1) * work_per_k / max(t2 - t1, 1e-9)
+
+    # ---- ceiling 1: MXU bf16 matmul (k chained matmuls) ------------------
     mm_n = 8192
     a = jnp.asarray(rng.normal(size=(mm_n, mm_n)), jnp.bfloat16)
-    bmat = jnp.asarray(rng.normal(size=(mm_n, mm_n)), jnp.bfloat16)
+    bmat = jnp.asarray(rng.normal(size=(mm_n, mm_n)) * 1e-2, jnp.bfloat16)
 
-    @jax.jit
-    def mm(a, bmat):
-        # 4 chained matmuls amortize dispatch; scalar output.
-        x = a @ bmat
-        x = x @ bmat
-        x = x @ bmat
-        x = x @ bmat
-        return jnp.sum(x.astype(jnp.float32))
+    def make_mm(k):
+        @jax.jit
+        def run(a, bmat):
+            x = a
+            for _ in range(k):
+                x = x @ bmat
+            return jnp.sum(x.astype(jnp.float32))
+        return run
 
-    t = timed(mm, a, bmat)
-    mm_tflops = 4 * 2 * mm_n ** 3 / t / 1e12
+    mm_tflops = slope(make_mm, 2 * mm_n ** 3, (a, bmat)) / 1e12
     out['ceilings']['matmul_bf16_tflops'] = round(mm_tflops, 1)
 
-    # ---- ceiling 2: exp pipelines. 16 chained exps per element (each
-    # depends on the previous — not fusable away); XLA fuses chain + sum
-    # into one pass, so HBM traffic is one read — compute-bound. -----------
+    # ---- ceiling 2: exp pipelines (k chained exps per element; each
+    # depends on the previous — not fusable away; one HBM read total) ------
     ex_shape = (4096, 4096)
     xin = jnp.asarray(rng.uniform(-1, 0, ex_shape), jnp.float32)
 
-    def chain(fn):
-        @jax.jit
-        def run(x):
-            acc = x
-            for _ in range(16):
-                acc = fn(acc * jnp.float32(-0.9) - jnp.float32(0.05))
-            return jnp.sum(acc)
-        return run
+    def make_chain(fn):
+        def make(k):
+            @jax.jit
+            def run(x):
+                acc = x
+                for _ in range(k):
+                    acc = fn(acc * jnp.float32(-0.9) - jnp.float32(0.05))
+                return jnp.sum(acc)
+            return run
+        return make
 
-    n_exp = 16 * ex_shape[0] * ex_shape[1]
-    t = timed(chain(exp_f32), xin)
-    exp_exact_gexps = n_exp / t / 1e9
-    t = timed(chain(jnp.exp), xin)
-    exp_hw_gexps = n_exp / t / 1e9
+    n_el = ex_shape[0] * ex_shape[1]
+    exp_exact_gexps = slope(make_chain(exp_f32), n_el, (xin,),
+                            k1=16, k2=64) / 1e9
+    exp_hw_gexps = slope(make_chain(jnp.exp), n_el, (xin,),
+                         k1=16, k2=64) / 1e9
     out['ceilings']['exp_exact_gexp_s'] = round(exp_exact_gexps, 1)
     out['ceilings']['exp_hw_gexp_s'] = round(exp_hw_gexps, 1)
 
-    # ---- ceiling 3: HBM stream-read bandwidth: matvec reads the 1 GiB
-    # operand once (2N^2 flops — trivially bandwidth-bound), tiny output. --
+    # ---- ceiling 3: HBM stream-read bandwidth: k dependent matvecs each
+    # re-read the 1 GiB operand (2N^2 flops each — bandwidth-bound) --------
     big = jnp.asarray(rng.normal(size=(16384, 16384)), jnp.float32)  # 1 GiB
     ones = jnp.ones((16384,), jnp.float32)
 
-    @jax.jit
-    def mv(x, v):
-        return jnp.sum(x @ v)
+    def make_mv(k):
+        @jax.jit
+        def run(x, v):
+            acc = jnp.float32(0.0)
+            vv = v
+            for _ in range(k):
+                r = x @ vv                       # full read of x
+                acc = acc + r[0]
+                vv = vv * (1.0 + acc * jnp.float32(1e-30))  # serialize reads
+            return acc
+        return run
 
-    t = timed(mv, big, ones)
-    hbm_gbs = big.size * 4 / t / 1e9
+    hbm_gbs = slope(make_mv, big.size * 4, (big, ones), k1=4, k2=12) / 1e9
     out['ceilings']['hbm_read_gb_s'] = round(hbm_gbs, 1)
 
     # ---- per-iteration analytic counts at the headline shape ------------
+    # The headline GP is TIED (shared lengthscales, gp.config.tied_lambdas)
+    # and dispatches the SYMMETRIC PAIR kernel (variance_trace.py
+    # _rw_call_sym): the O(N^2) exp chain runs once per (scenario, step) —
+    # not per output — over tile PAIRS i <= j, i.e. (nt+1)/(2nt) of the full
+    # N^2 (nt = N/128 column tiles). Each chain element costs ~9 VPU
+    # FMA-class ops (exp_f32's Cody-Waite degree-6 polynomial as Mosaic
+    # lowers it) + ~3 chain mults (blam o exp o dv scaling).
     b, horizon = 256, 20
     prob = make_headline_problem(b=b)
     n_cap = int(prob.gp.x.shape[0])
     e = int(prob.gp.beta.shape[0])
     d = int(prob.gp.x.shape[1])
-    bhe = b * e * horizon
+    nt = n_cap // 128
+    pair_frac = (nt + 1) / (2 * nt)
     n2 = n_cap * n_cap
-    exps_per_iter = bhe * n2
-    mxu_per_iter = bhe * 2 * n2 * (2 * d + 1)
-    vpu_nonexp_per_iter = bhe * 2 * n2
+    exps_per_iter = b * horizon * int(n2 * pair_frac)   # tied: E-independent
+    vpu_ops_per_iter = exps_per_iter * (9 + 3)
+    # MXU: p/rw reductions per (scenario, output, step) pair tiles.
+    mxu_per_iter = b * e * horizon * 2 * int(n2 * pair_frac) * (2 * d + 1)
     hbm_per_step = (e * n2 * 4                       # blam read
                     + b * e * n_cap * (1 + d) * 4 * 2  # rw write + bwd read
                     + b * e * n_cap * (2 * d + 1) * 4)  # prep tensors
     hbm_per_iter = horizon * hbm_per_step
-    out['shape'] = {'B': b, 'E': e, 'H': horizon, 'N_capacity': n_cap, 'd': d}
+    out['shape'] = {'B': b, 'E': e, 'H': horizon, 'N_capacity': n_cap, 'd': d,
+                    'kernel': 'sym-pair, tied chain'}
     out['per_iter'] = {
         'chain_exps': exps_per_iter,
+        'vpu_ops_est': vpu_ops_per_iter,
         'mxu_flops': mxu_per_iter,
-        'vpu_nonexp_flops': vpu_nonexp_per_iter,
         'hbm_bytes_lower_bound': hbm_per_iter,
     }
 
@@ -179,12 +203,74 @@ def main():
     iter_s = t / 40
     out['per_iter']['iter_ms_measured'] = round(iter_s * 1e3, 3)
 
+    # ---- empirical iteration split: rerun the same 40-iteration solve with
+    # the 1-op hardware exp in a subprocess (GPMPC_KERNEL_EXP is read at
+    # import). The delta IS the exact-exp chain's share of the iteration —
+    # no op-count model needed. (hw exp breaks solution quality — measured,
+    # quality_ms_sweep.json prod_pf_hwexp — this is a measurement probe
+    # only.)
+    import subprocess
+    probe = (
+        "import sys, time, numpy as np\n"
+        "sys.path.insert(0, %r)\n"
+        "import jax\n"
+        "jax.config.update('jax_compilation_cache_dir', %r)\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)\n"
+        "import jax.numpy as jnp\n"
+        "from benchmarks.problems import make_headline_problem\n"
+        "from gpmpc_tpu.dynamics import build_rollout_cache, rollout_batched\n"
+        "from gpmpc_tpu.mpc.cost import risk_sensitive_cost\n"
+        "from gpmpc_tpu.mpc.solver import SolverConfig, "
+        "solve_trajectory_batched\n"
+        "from gpmpc_tpu.parallel import batch as pbatch\n"
+        "prob = make_headline_problem(b=256)\n"
+        "cache = build_rollout_cache(prob.gp, prob.state_dim, "
+        "prob.action_dim)\n"
+        "axes = pbatch._params_axes(prob.params)\n"
+        "cost_b = jax.vmap(risk_sensitive_cost, in_axes=(axes, 0, 0, 0))\n"
+        "solver = SolverConfig(max_iters=40, tol=0.0)\n"
+        "@jax.jit\n"
+        "def run40(x0s, u_init):\n"
+        "    def obj(u):\n"
+        "        m, c = rollout_batched(cache, x0s, u)\n"
+        "        return cost_b(prob.params, m, c, u)\n"
+        "    return solve_trajectory_batched(obj, u_init, prob.lb, prob.ub, "
+        "solver).u\n"
+        "u0 = jnp.zeros((256, 20, 1), jnp.float32)\n"
+        "_ = np.asarray(run40(prob.x0s, u0))\n"
+        "ts = []\n"
+        "rng = np.random.default_rng(5)\n"
+        "for _ in range(3):\n"
+        "    x0f = jnp.asarray(rng.uniform(-1, 1, (256, 2)), jnp.float32)\n"
+        "    x0f.block_until_ready()\n"
+        "    t0 = time.perf_counter()\n"
+        "    _ = np.asarray(run40(x0f, u0))\n"
+        "    ts.append(time.perf_counter() - t0)\n"
+        "print('HWEXP_MS', min(ts) / 40 * 1e3)\n"
+    ) % (REPO, '/root/.cache/jax_gpmpc')
+    env = dict(os.environ, GPMPC_KERNEL_EXP='hw')
+    iter_hw_ms = None
+    try:
+        r = subprocess.run([sys.executable, '-c', probe], env=env,
+                           capture_output=True, text=True, timeout=1800)
+        for ln in r.stdout.splitlines():
+            if ln.startswith('HWEXP_MS'):
+                iter_hw_ms = float(ln.split()[1])
+    except Exception:
+        pass
+    out['per_iter']['iter_ms_hw_exp'] = (round(iter_hw_ms, 3)
+                                         if iter_hw_ms else None)
+    if iter_hw_ms:
+        out['per_iter']['exact_exp_chain_ms'] = round(
+            out['per_iter']['iter_ms_measured'] - iter_hw_ms, 3)
+
     # ---- utilization ----------------------------------------------------
+    # VPU ops ceiling: the hw-exp measurement is 1 op/lane/cycle by
+    # construction, so it doubles as the practical VPU elementwise ceiling.
     import gpmpc_tpu.ops.pallas.variance_trace as vt
-    exp_ceiling = (exp_hw_gexps if vt._EXP_MODE == 'hw'
-                   else exp_exact_gexps) * 1e9
+    vpu_ceiling = exp_hw_gexps * 1e9
     util = {
-        'exp_pipe': exps_per_iter / iter_s / exp_ceiling,
+        'vpu_chain': vpu_ops_per_iter / iter_s / vpu_ceiling,
         'mxu': mxu_per_iter / iter_s / (mm_tflops * 1e12),
         'hbm_read': hbm_per_iter / iter_s / (hbm_gbs * 1e9),
     }
@@ -193,11 +279,17 @@ def main():
     out['exp_mode'] = vt._EXP_MODE
     out['note'] = (
         'utilization = analytic useful work per measured solver iteration / '
-        'empirically measured ceiling on this chip; the max entry is the '
-        'binding resource. Ceilings are practical (measured), not datasheet '
-        'peaks. The iteration includes the O(B mem H da) L-BFGS two-loop and '
-        'O(N d) mean-prop/cost work not counted as "useful" here, so the '
-        'binding utilization understates true pipe occupancy.')
+        'empirically measured ceiling on this chip (differenced '
+        'microbenchmarks; matmul and HBM land within ~7% of v5e datasheet '
+        'peaks). vpu_chain counts the sym-pair kernel exp chain at ~12 '
+        'ops/element; iter_ms_hw_exp gives the measured (model-free) split '
+        'of the iteration into exp-chain vs everything else. Work outside '
+        'the chain (mean prop, small-chol cost, L-BFGS two-loop, bwd '
+        'einsums, scan overhead) is not counted as useful, so utilizations '
+        'understate true occupancy. exp_exact_gexp_s is the XLA-lowered '
+        'polynomial chain — Mosaic lowers the same polynomial several times '
+        'better in-kernel; it is recorded for context, not used as the '
+        'ceiling.')
     out['provenance'] = provenance()
 
     os.makedirs(RESULTS, exist_ok=True)

@@ -493,14 +493,18 @@ import functools as _functools
 
 @_functools.partial(jax.jit, static_argnames=(
     'state_dim', 'action_dim', 'horizon', 'surrogate_mode', 'frozen_rounds',
-    'n_starts', 'prune_to', 'n_zero_starts', 'delta', 'seed'))
+    'n_starts', 'prune_to', 'n_zero_starts', 'delta', 'seed',
+    'refine_frozen_rounds', 'refine_frozen_iters'))
 def _retired_phase_a(gp, x0s, params, lb, ub, extra_starts, solver1,
                      surrogate, start_scale, zero_jitter,
                      state_dim, action_dim, horizon, surrogate_mode,
                      frozen_rounds, n_starts, prune_to, n_zero_starts,
-                     delta, seed) -> SolveResult:
-    """Jitted program A of the retired recipe: phase-0 basin selection + the
-    first `solver1.max_iters` full-objective refinement iterations at full
+                     delta, seed, refine_frozen_rounds=0,
+                     refine_frozen_iters=16) -> SolveResult:
+    """Jitted program A of the retired recipe: phase-0 basin selection +
+    optional frozen-covariance pre-refinement rounds (a frozen iteration
+    costs ~1/9 of a full one, iter_cost.json) + the first
+    `solver1.max_iters` full-objective refinement iterations, all at full
     batch width."""
     cache = build_rollout_cache(gp, state_dim, action_dim)
     u0 = _multistart_phase0(cache, x0s, params, horizon, action_dim, lb, ub,
@@ -513,6 +517,20 @@ def _retired_phase_a(gp, x0s, params, lb, ub, extra_starts, solver1,
     def objective_full(u):
         means, covs = rollout_batched(cache, x0s, u, delta=delta)
         return cost_b(params, means, covs, u)
+
+    for _ in range(refine_frozen_rounds):
+        _, covs_b = rollout_batched(cache, x0s, u0, delta=delta)
+        cov_db = jax.lax.stop_gradient(
+            jnp.diagonal(covs_b, axis1=2, axis2=3))          # (B, H+1, ds)
+
+        def objective_frozen_b(u, cov_db=cov_db):
+            means, cv = rollout_batched(cache, x0s, u, delta=delta,
+                                        frozen_cov_diag=cov_db)
+            return cost_b(params, means, cv, u)
+
+        u0 = solve_trajectory_batched(
+            objective_frozen_b, u0, lb, ub,
+            solver1.replace(max_iters=refine_frozen_iters)).u
 
     return solve_trajectory_batched(objective_full, u0, lb, ub, solver1)
 
@@ -616,6 +634,8 @@ def solve_batch_multistart_retired(
         shift_margin: float = 0.005,
         shift_lanes_per_chunk: Optional[int] = None,
         shift_rounds: int = 1,
+        refine_frozen_rounds: int = 0,
+        refine_frozen_iters: int = 16,
         diag: Optional[dict] = None) -> SolveResult:
     """The multistart production recipe with CONVERGED-LANE RETIREMENT — the
     round-5 composition of solve_batch_multistart and solve_batch_staged
@@ -663,7 +683,8 @@ def solve_batch_multistart_retired(
         jnp.asarray(start_scale, x0s.dtype),
         jnp.asarray(zero_jitter, x0s.dtype),
         state_dim, action_dim, horizon, surrogate_mode, frozen_rounds,
-        n_starts, prune_to, n_zero_starts, delta, seed)
+        n_starts, prune_to, n_zero_starts, delta, seed,
+        refine_frozen_rounds, refine_frozen_iters)
 
     u = np.array(res1.u)
     cost = np.array(res1.cost)
