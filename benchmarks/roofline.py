@@ -126,8 +126,10 @@ def main():
     n_el = ex_shape[0] * ex_shape[1]
     exp_exact_gexps = slope(make_chain(exp_f32), n_el, (xin,),
                             k1=16, k2=64) / 1e9
+    # hw exp is ~1 op/lane/cycle: k must be large enough that the extra work
+    # clears dispatch noise (k2=64 measured a ~0 delta).
     exp_hw_gexps = slope(make_chain(jnp.exp), n_el, (xin,),
-                         k1=16, k2=64) / 1e9
+                         k1=64, k2=512) / 1e9
     out['ceilings']['exp_exact_gexp_s'] = round(exp_exact_gexps, 1)
     out['ceilings']['exp_hw_gexp_s'] = round(exp_hw_gexps, 1)
 
@@ -168,7 +170,11 @@ def main():
     pair_frac = (nt + 1) / (2 * nt)
     n2 = n_cap * n_cap
     exps_per_iter = b * horizon * int(n2 * pair_frac)   # tied: E-independent
-    vpu_ops_per_iter = exps_per_iter * (9 + 3)
+    # VPU ops: the chain itself (~9 polynomial FMAs + 3 chain mults per
+    # element, shared across outputs) PLUS the per-OUTPUT pair-tile work
+    # (blam multiply, dv scalings, bf16x3 operand splits, accumulator adds —
+    # ~8 elementwise ops per pair element per output).
+    vpu_ops_per_iter = exps_per_iter * (9 + 3) + e * exps_per_iter * 8
     # MXU: p/rw reductions per (scenario, output, step) pair tiles.
     mxu_per_iter = b * e * horizon * 2 * int(n2 * pair_frac) * (2 * d + 1)
     hbm_per_step = (e * n2 * 4                       # blam read
