@@ -209,7 +209,13 @@ def main():
         }
         print(name, json.dumps(rows[name]), flush=True)
 
+    # MERGE into the u archive: sweeps run config subsets; eval passes can
+    # then cover every accumulated config.
     u_path = os.path.join(RESULTS, f'quality_retired_u_b{b}.npz')
+    if os.path.exists(u_path):
+        old = np.load(u_path)
+        for nm in old.files:
+            uu.setdefault(nm, old[nm])
     np.savez(u_path, **uu)
 
     if not args.skip_eval:
@@ -224,7 +230,12 @@ def main():
             sys.exit(1)
         res = json.loads(line[-1][len('RESULT '):])
         for name in res:
-            rows[name].update(res[name])
+            if name in rows:
+                rows[name].update(res[name])
+            else:
+                # u came from the accumulated archive (an earlier sweep run);
+                # quality freshly evaluated, timing fields from that run.
+                rows[name] = dict(res[name], quality_of_archived_u=True)
 
     prov = provenance()
     for name in rows:

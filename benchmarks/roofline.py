@@ -112,14 +112,20 @@ def main():
     ex_shape = (4096, 4096)
     xin = jnp.asarray(rng.uniform(-1, 0, ex_shape), jnp.float32)
 
+    # 8 INDEPENDENT accumulator streams per element: a single dependent
+    # chain measures op LATENCY, not throughput (measured: 1-FMA chain gave
+    # 327 Gops/s = ~3 cycles/op latency-bound; the production kernel's
+    # elementwise work is across independent tile elements and pipelines
+    # fully).
     def make_chain(fn):
         def make(k):
             @jax.jit
             def run(x):
-                acc = x
-                for _ in range(k):
-                    acc = fn(acc * jnp.float32(-0.9) - jnp.float32(0.05))
-                return jnp.sum(acc)
+                accs = [x * jnp.float32(1.0 + 0.01 * i) for i in range(8)]
+                for _ in range(k // 8):
+                    accs = [fn(a * jnp.float32(-0.9) - jnp.float32(0.05))
+                            for a in accs]
+                return sum(jnp.sum(a) for a in accs)
             return run
         return make
 
@@ -138,10 +144,10 @@ def main():
     def make_fma(k):
         @jax.jit
         def run(x):
-            acc = x
-            for _ in range(k):
-                acc = acc * jnp.float32(0.999) + x
-            return jnp.sum(acc)
+            accs = [x * jnp.float32(1.0 + 0.01 * i) for i in range(8)]
+            for _ in range(k // 8):
+                accs = [a * jnp.float32(0.999) + x for a in accs]
+            return sum(jnp.sum(a) for a in accs)
         return run
 
     vpu_fma_gops = slope(make_fma, n_el, (xin,), k1=64, k2=512) / 1e9
