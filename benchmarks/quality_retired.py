@@ -137,6 +137,27 @@ CONFIGS = {
         shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64), dict(max_iters=32)),
+    # NEIGHBOR EXCHANGE (round-5 basin fix): propose (x0, gamma)-neighbor
+    # incumbents alongside the shifts; 2 rounds propagate found basins.
+    'ret_nb4': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, neighbor_set=4)),
+    # + jittered-zero starts (descent-path diversity toward the f64
+    # reference's cold-start basin family).
+    'ret_nb4_z': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        n_zero_starts=3,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, neighbor_set=4)),
+    # Quality-max probe: 8 neighbors, 3 propagation rounds.
+    'ret_nb8_s3': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, neighbor_set=8)),
 }
 
 

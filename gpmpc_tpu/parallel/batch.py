@@ -567,20 +567,25 @@ def _shift_u_batch(u, kk):
 @_functools.partial(jax.jit, static_argnames=(
     'state_dim', 'action_dim', 'delta', 'shift_set', 'smooth_iters'))
 def _shift_score(gp, x0s, params, u_inc, lb, ub, smooth_solver,
-                 state_dim, action_dim, delta, shift_set, smooth_iters):
+                 state_dim, action_dim, delta, shift_set, smooth_iters,
+                 extra_cands=None):
     """Jitted program C of the retired recipe: propose the incumbent's
-    time-shifted profiles, frozen-smooth the seams (`smooth_iters` cheap
-    iterations — a raw shifted profile's score can bury a shift that wins
-    after refinement), and score everything under the full objective.
+    time-shifted profiles (plus optional extra candidates, e.g. NEIGHBOR
+    incumbents — see solve_batch_multistart_retired's neighbor exchange),
+    frozen-smooth the seams (`smooth_iters` cheap iterations — a raw
+    proposal's score can bury one that wins after refinement), and score
+    everything under the full objective.
 
+    extra_cands: optional (Ke, B, H, da) additional per-lane proposals.
     Returns (u_sh (Ks, B, H, da) smoothed candidates incl. the incumbent at
     index 0, j_pre (Ks, B) finite-guarded full-objective scores)."""
     b, horizon, action_dim_u = u_inc.shape
     cache = build_rollout_cache(gp, state_dim, action_dim)
-    ks = 1 + len(shift_set)
-    u_sh = jnp.concatenate(
-        [u_inc] + [_shift_u_batch(u_inc, kk) for kk in shift_set],
-        axis=0)                                               # (Ks*B, H, da)
+    parts = [u_inc] + [_shift_u_batch(u_inc, kk) for kk in shift_set]
+    if extra_cands is not None:
+        parts.extend(extra_cands[k] for k in range(extra_cands.shape[0]))
+    ks = len(parts)
+    u_sh = jnp.concatenate(parts, axis=0)                     # (Ks*B, H, da)
     params_s = _tile_params(params, b, ks)
     x0s_s = jnp.tile(x0s, (ks, 1))
     axes_s = _params_axes(params_s)
@@ -634,6 +639,7 @@ def solve_batch_multistart_retired(
         shift_margin: float = 0.005,
         shift_lanes_per_chunk: Optional[int] = None,
         shift_rounds: int = 1,
+        neighbor_set: int = 0,
         refine_frozen_rounds: int = 0,
         refine_frozen_iters: int = 16,
         diag: Optional[dict] = None) -> SolveResult:
@@ -715,22 +721,47 @@ def solve_batch_multistart_retired(
             pg[idx_np] = np.asarray(res2.pg_norm)
             conv[idx_np] = np.asarray(res2.converged)
 
-    if not shift_set:
+    if not shift_set and not neighbor_set:
         return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
                            iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
                            converged=jnp.asarray(conv))
+
+    # NEIGHBOR EXCHANGE (round-5 basin fix): at B=256, 33/34 of the quality
+    # tail's lanes are BASIN misses — their f64-reference profile is not a
+    # time shift of the incumbent and no amount of local refinement reaches
+    # it (lane_forensics.py on prod_pf_b256). But the batch is a POPULATION
+    # of related problems (a gamma sweep x initial-state draw): the basin a
+    # lane missed is usually found by a (x0, gamma)-NEIGHBOR. Each shift
+    # round therefore also proposes the current incumbents of the
+    # `neighbor_set` nearest lanes (z-scored (x0, gamma) metric); iterated
+    # rounds let a good basin PROPAGATE through the neighborhood graph.
+    nbr_idx = None
+    if neighbor_set > 0 and b > 1:
+        feats = [np.asarray(x0s, np.float64)]
+        g = params.gamma
+        if hasattr(g, 'ndim') and getattr(g, 'ndim', 0) == 1:
+            feats.append(np.asarray(g, np.float64)[:, None])
+        f = np.concatenate(feats, axis=1)
+        f = (f - f.mean(0)) / (f.std(0) + 1e-12)
+        d2 = ((f[:, None] - f[None]) ** 2).sum(-1)
+        np.fill_diagonal(d2, np.inf)
+        m = min(neighbor_set, b - 1)
+        nbr_idx = np.argsort(d2, axis=1)[:, :m]              # (B, M)
 
     # C + D, iterated until dry (shift_rounds cap): a lane whose incumbent
     # just JUMPED basins via a shift can expose a further profitable shift
     # (switch-time misalignment can be >2 steps — outside shift_set's reach
     # in one application); re-proposing from the updated incumbents is cheap
     # because round r >= 2 admits only lanes still showing improving shifts.
-    shift_top = min(shift_top, 1 + len(shift_set))
+    shift_top = min(shift_top, 1 + len(shift_set)
+                    + (nbr_idx.shape[1] if nbr_idx is not None else 0))
     for rnd in range(shift_rounds):
-        # C: propose + smooth + score shifts for every lane (cheap).
+        extra = (jnp.asarray(u[nbr_idx.T]) if nbr_idx is not None else None)
+        # C: propose + smooth + score shifts (+ neighbors) for every lane.
         u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
                                    ub_j, solver, state_dim, action_dim, delta,
-                                   tuple(shift_set), shift_smooth_iters)
+                                   tuple(shift_set), shift_smooth_iters,
+                                   extra)
         u_sh = np.asarray(u_sh)                               # (Ks, B, H, da)
         j_pre = np.asarray(j_pre)                             # (Ks, B)
 
