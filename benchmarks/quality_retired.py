@@ -158,6 +158,20 @@ CONFIGS = {
         shift_set=(1, -1, 2, -2), shift_iters=32, shift_top=2,
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64, shift_rounds=3, neighbor_set=8)),
+    # Changed-lane-filtered exchange + shifted neighbors (the churn fix):
+    # fast point and max point.
+    'ret_nbf': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=24, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, neighbor_set=4,
+        neighbor_shifted=1)),
+    'ret_nbmax': ('retired', dict(
+        n_starts=16, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2, 3, -3, 4, -4), shift_iters=32, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, neighbor_set=8,
+        neighbor_shifted=2)),
 }
 
 

@@ -640,6 +640,7 @@ def solve_batch_multistart_retired(
         shift_lanes_per_chunk: Optional[int] = None,
         shift_rounds: int = 1,
         neighbor_set: int = 0,
+        neighbor_shifted: int = 0,
         refine_frozen_rounds: int = 0,
         refine_frozen_iters: int = 16,
         diag: Optional[dict] = None) -> SolveResult:
@@ -753,10 +754,38 @@ def solve_batch_multistart_retired(
     # (switch-time misalignment can be >2 steps — outside shift_set's reach
     # in one application); re-proposing from the updated incumbents is cheap
     # because round r >= 2 admits only lanes still showing improving shifts.
-    shift_top = min(shift_top, 1 + len(shift_set)
-                    + (nbr_idx.shape[1] if nbr_idx is not None else 0))
+    def _np_shift(uu, kk):
+        # (M, B, H, da) or (B, H, da) whole-profile time shift, numpy.
+        if kk > 0:
+            return np.concatenate(
+                [np.repeat(uu[..., :1, :], kk, axis=-2), uu[..., :-kk, :]],
+                axis=-2)
+        kk = -kk
+        return np.concatenate(
+            [uu[..., kk:, :], np.repeat(uu[..., -1:, :], kk, axis=-2)],
+            axis=-2)
+
+    def _proposals(u_now):
+        """(Ke, B, H, da) extra candidates: neighbor incumbents + time-shifted
+        copies of the nearest `neighbor_shifted` ones (a neighbor's basin
+        usually needs a 1-step switch-time adjustment at a different x0)."""
+        if nbr_idx is None:
+            return None
+        u_nbr = u_now[nbr_idx.T]                              # (M, B, H, da)
+        parts = [u_nbr]
+        for m in range(min(neighbor_shifted, u_nbr.shape[0])):
+            parts.append(_np_shift(u_nbr[m:m + 1], 1))
+            parts.append(_np_shift(u_nbr[m:m + 1], -1))
+        return jnp.asarray(np.concatenate(parts, axis=0))
+
+    n_extra = 0
+    if nbr_idx is not None:
+        n_extra = nbr_idx.shape[1] + 2 * min(neighbor_shifted,
+                                             nbr_idx.shape[1])
+    shift_top = min(shift_top, 1 + len(shift_set) + n_extra)
+    prev_u = None
     for rnd in range(shift_rounds):
-        extra = (jnp.asarray(u[nbr_idx.T]) if nbr_idx is not None else None)
+        extra = _proposals(u)
         # C: propose + smooth + score shifts (+ neighbors) for every lane.
         u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
                                    ub_j, solver, state_dim, action_dim, delta,
@@ -768,9 +797,21 @@ def solve_batch_multistart_retired(
         # D: gate — only lanes where some SHIFTED candidate's smoothed score
         # lands within shift_margin of the incumbent pay the full refinement.
         # (The incumbent's own smoothed score, j_pre[0], is excluded from the
-        # gate: it is always ~cost.)
+        # gate: it is always ~cost.) Rounds >= 1 additionally require FRESH
+        # EVIDENCE: the lane's own incumbent or one of its neighbors' moved
+        # last round — otherwise a marginal-scoring proposal that already
+        # failed refinement re-admits the lane every round (measured: ~80
+        # re-admissions/round at B=256 with no quality gain).
         margin = shift_margin * (1.0 + np.abs(cost))
-        worthy = np.nonzero(np.min(j_pre[1:], axis=0) < cost + margin)[0]
+        gate = np.min(j_pre[1:], axis=0) < cost + margin
+        if prev_u is not None:
+            changed = np.any(np.abs(u - prev_u) > 1e-6, axis=(1, 2))  # (B,)
+            fresh = changed.copy()
+            if nbr_idx is not None:
+                fresh |= np.any(changed[nbr_idx], axis=1)
+            gate &= fresh
+        prev_u = u.copy()
+        worthy = np.nonzero(gate)[0]
         if diag is not None:
             diag[f'n_shift_worthy_r{rnd}'] = int(worthy.size)
             if rnd == 0:
