@@ -172,6 +172,20 @@ CONFIGS = {
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64, shift_rounds=3, neighbor_set=8,
         neighbor_shifted=2)),
+    # Gain-ranked per-round cap: the tail (percent-scale predicted gains)
+    # repairs first at a fixed per-round cost.
+    'ret_nbx': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2, 4, -4), shift_iters=24, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=8, neighbor_shifted=1)),
+    'ret_nbx_r48': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=48, tail_divisor=4,
+        shift_set=(1, -1, 2, -2, 4, -4), shift_iters=24, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=8, neighbor_shifted=1), dict(max_iters=48)),
 }
 
 

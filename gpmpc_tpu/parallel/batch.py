@@ -639,6 +639,7 @@ def solve_batch_multistart_retired(
         shift_margin: float = 0.005,
         shift_lanes_per_chunk: Optional[int] = None,
         shift_rounds: int = 1,
+        shift_max_lanes: Optional[int] = None,
         neighbor_set: int = 0,
         neighbor_shifted: int = 0,
         refine_frozen_rounds: int = 0,
@@ -812,6 +813,14 @@ def solve_batch_multistart_retired(
             gate &= fresh
         prev_u = u.copy()
         worthy = np.nonzero(gate)[0]
+        # Per-round refinement cap, ranked by PREDICTED GAIN (incumbent cost
+        # minus best proposal score, relative): the quality metric's tail
+        # lanes carry percent-scale gaps and rank first, so a fixed
+        # per-round budget repairs the tail before spending on micro-gains.
+        if shift_max_lanes and worthy.size > shift_max_lanes:
+            gain = (cost[worthy] - np.min(j_pre[1:, worthy], axis=0)) \
+                / (1.0 + np.abs(cost[worthy]))
+            worthy = worthy[np.argsort(-gain)[:shift_max_lanes]]
         if diag is not None:
             diag[f'n_shift_worthy_r{rnd}'] = int(worthy.size)
             if rnd == 0:
