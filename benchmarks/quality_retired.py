@@ -186,6 +186,16 @@ CONFIGS = {
         shift_smooth_iters=8, shift_margin=0.005,
         shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
         neighbor_set=8, neighbor_shifted=1), dict(max_iters=48)),
+    # Round-5 production candidate: exchange with smoothed proposals + LONG
+    # winner refinement (f32 valley descent is slow — measured via warm f64
+    # refine closing 6/14 tail lanes) + pg-ranked final polish.
+    'ret_prod': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96)),
 }
 
 

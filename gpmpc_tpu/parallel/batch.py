@@ -642,6 +642,9 @@ def solve_batch_multistart_retired(
         shift_max_lanes: Optional[int] = None,
         neighbor_set: int = 0,
         neighbor_shifted: int = 0,
+        propose_smoothed: bool = False,
+        polish_lanes: int = 0,
+        polish_iters: int = 96,
         refine_frozen_rounds: int = 0,
         refine_frozen_iters: int = 16,
         diag: Optional[dict] = None) -> SolveResult:
@@ -723,7 +726,8 @@ def solve_batch_multistart_retired(
             pg[idx_np] = np.asarray(res2.pg_norm)
             conv[idx_np] = np.asarray(res2.converged)
 
-    if not shift_set and not neighbor_set:
+    do_exchange = bool(shift_set) or neighbor_set > 0 or propose_smoothed
+    if not do_exchange and not polish_lanes:
         return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
                            iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
                            converged=jnp.asarray(conv))
@@ -769,23 +773,32 @@ def solve_batch_multistart_retired(
     def _proposals(u_now):
         """(Ke, B, H, da) extra candidates: neighbor incumbents + time-shifted
         copies of the nearest `neighbor_shifted` ones (a neighbor's basin
-        usually needs a 1-step switch-time adjustment at a different x0)."""
-        if nbr_idx is None:
+        usually needs a 1-step switch-time adjustment at a different x0) +
+        optionally a SMOOTHED incumbent (3-tap moving average: bang-bang
+        profiles stuck with a spurious pulse de-pulse into the neighboring
+        smooth basin — observed on the headline stubborn lanes)."""
+        parts = []
+        if nbr_idx is not None:
+            u_nbr = u_now[nbr_idx.T]                          # (M, B, H, da)
+            parts.append(u_nbr)
+            for m in range(min(neighbor_shifted, u_nbr.shape[0])):
+                parts.append(_np_shift(u_nbr[m:m + 1], 1))
+                parts.append(_np_shift(u_nbr[m:m + 1], -1))
+        if propose_smoothed:
+            pad = np.concatenate([u_now[:, :1], u_now, u_now[:, -1:]], axis=1)
+            sm = (pad[:, :-2] + pad[:, 1:-1] + pad[:, 2:]) / 3.0
+            parts.append(sm[None])
+        if not parts:
             return None
-        u_nbr = u_now[nbr_idx.T]                              # (M, B, H, da)
-        parts = [u_nbr]
-        for m in range(min(neighbor_shifted, u_nbr.shape[0])):
-            parts.append(_np_shift(u_nbr[m:m + 1], 1))
-            parts.append(_np_shift(u_nbr[m:m + 1], -1))
         return jnp.asarray(np.concatenate(parts, axis=0))
 
-    n_extra = 0
+    n_extra = int(propose_smoothed)
     if nbr_idx is not None:
-        n_extra = nbr_idx.shape[1] + 2 * min(neighbor_shifted,
-                                             nbr_idx.shape[1])
+        n_extra += nbr_idx.shape[1] + 2 * min(neighbor_shifted,
+                                              nbr_idx.shape[1])
     shift_top = min(shift_top, 1 + len(shift_set) + n_extra)
     prev_u = None
-    for rnd in range(shift_rounds):
+    for rnd in range(shift_rounds if do_exchange else 0):
         extra = _proposals(u)
         # C: propose + smooth + score shifts (+ neighbors) for every lane.
         u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
@@ -866,6 +879,41 @@ def solve_batch_multistart_retired(
                 shift_top, lanes.size).max(axis=0)
         if n_improved == 0:
             break
+
+    # FINAL POLISH (round-5 valley fix): some lanes stall far above their
+    # basin floor — measured: warm f64 refinement from the f32 incumbent
+    # fully closes ~40% of the >1% tail, i.e. the f32 noise-tolerant descent
+    # quits a long curved valley early, not a basin problem. The lanes that
+    # need it advertise themselves: projected-gradient residual still large.
+    # Extend the top `polish_lanes` by pg_norm (unconverged first) with
+    # `polish_iters` warm-started full iterations at compacted width.
+    if polish_lanes > 0:
+        # Unconverged lanes first, then by residual size.
+        rank = np.where(np.isfinite(pg), pg, 0.0) \
+            + 1e6 * (~conv).astype(np.float64)
+        order = np.argsort(-rank)
+        sel = order[:min(polish_lanes, b)]
+        if diag is not None:
+            diag['n_polish'] = int(sel.size)
+        solver_p = solver.replace(max_iters=polish_iters)
+        lanes_pc = shift_lanes_per_chunk or chunk
+        n_pad = (-sel.size) % lanes_pc
+        sel_p = np.concatenate([sel, np.full(n_pad, sel[0], sel.dtype)])
+        for c0 in range(0, sel_p.size, lanes_pc):
+            lanes = sel_p[c0:c0 + lanes_pc]
+            idx = jnp.asarray(lanes)
+            res_p = _refine_chunk(gp, x0s[idx], _gather_params(params, b, idx),
+                                  jnp.asarray(u[lanes]), lb_j, ub_j, solver_p,
+                                  state_dim, action_dim, delta)
+            j_p = np.asarray(res_p.cost)
+            j_p = np.where(np.isfinite(j_p), j_p, np.inf)
+            improve = j_p < cost[lanes]
+            upd = lanes[improve]
+            u[upd] = np.asarray(res_p.u)[improve]
+            cost[upd] = j_p[improve]
+            pg[lanes] = np.asarray(res_p.pg_norm)
+            conv[lanes] = np.asarray(res_p.converged)
+            iters[lanes] = iters[lanes] + np.asarray(res_p.iters)
 
     return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
                        iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
