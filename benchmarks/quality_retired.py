@@ -196,6 +196,21 @@ CONFIGS = {
         shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
         neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
         polish_lanes=64, polish_iters=96)),
+    # Speed-trimmed variants of ret_prod.
+    'ret_prod2': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=40, shift_top=2,
+        shift_smooth_iters=5, shift_margin=0.002,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=48,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=48, polish_iters=80)),
+    'ret_prod3': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=40, shift_top=2,
+        shift_smooth_iters=5, shift_margin=0.002,
+        shift_lanes_per_chunk=64, shift_rounds=1, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=48, polish_iters=80)),
 }
 
 

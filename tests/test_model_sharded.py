@@ -154,7 +154,7 @@ class TestSolveBatch2D:
     ])
     def test_matches_unsharded_across_mesh_shapes(self, shape):
         gp, x0s, params = _problem()
-        solver = SolverConfig(max_iters=15, tol=1e-6)
+        solver = SolverConfig(max_iters=15, tol=1e-6, history=4)
         ref = pbatch.solve_batch(gp, 2, 1, x0s, params, horizon=5,
                                  lb=-1.0, ub=1.0, solver=solver)
         mesh = pmesh.make_mesh(n_batch=shape[0], n_model=shape[1])
@@ -172,7 +172,7 @@ class TestSolveBatch2D:
     @pytest.mark.slow
     def test_delta_mode(self):
         gp, x0s, params = _problem()
-        solver = SolverConfig(max_iters=15, tol=1e-6)
+        solver = SolverConfig(max_iters=15, tol=1e-6, history=4)
         ref = pbatch.solve_batch(gp, 2, 1, x0s, params, horizon=4,
                                  lb=-1.0, ub=1.0, solver=solver, delta=True)
         mesh = pmesh.make_mesh(n_batch=2, n_model=4)

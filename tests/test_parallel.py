@@ -35,7 +35,7 @@ def _params(gamma):
                       x_ref=jnp.zeros(DS), u_ref=jnp.zeros(DA))
 
 
-SOLVER = SolverConfig(max_iters=60, tol=1e-6)
+SOLVER = SolverConfig(max_iters=60, tol=1e-6, history=4)  # history=4 halves the unrolled two-loop (compile time)
 
 
 class TestBatch:
