@@ -5,73 +5,117 @@ risk-sensitive GP-MPC trajectory optimizations against a shared exact-GP
 dynamics posterior — pendulum dimensions (ds=2, da=1), N=200 training points
 (capacity 256), horizon H=20, gamma sweep.
 
-The measured solve is the PRODUCTION QUALITY RECIPE
-(parallel.batch.solve_batch_multistart: 8 wide starts -> frozen-surrogate
-basin selection with top-4 pruning -> full-objective scoring -> noise-
-tolerant L-BFGS refinement -> time-shift tail correction), i.e. the
-configuration whose controls match the f64 600-iteration reference:
-round-4 on-TPU artifact benchmarks/results/quality_ms_sweep.json measures
-p50/p90 cost excess vs that reference for THIS configuration at B=64 —
-the quality sidecar below quotes it. The north star is a conjunction
-("controls match the reference IPOPT solution within tolerance ... with
->=1000 concurrent solves/s"), so quality and throughput are quoted for the
-SAME operating point (VERDICT r3 item 1); the plain 40-iteration descent the
-earlier rounds benchmarked (775 solves/s but p90 cost excess ~36% — a speed
-point, not a solution) is reported as a secondary field.
+The measured solve is the round-5 PRODUCTION RECIPE
+(parallel.batch.solve_batch_multistart_retired): frozen-surrogate basin
+selection -> full-width noise-tolerant refinement -> gain-ranked
+NEIGHBOR-EXCHANGE rounds (time-shift + neighbor-incumbent + smoothed
+proposals, seam-smoothed scoring, gated chunked refinement) -> pg-ranked
+final polish. Quality and throughput are quoted for the SAME B=256 operating
+point against the 600-iteration f64 reference
+(benchmarks/results/quality_retired.json + quality_ref_b256.npz) — round 4
+quoted B=64 quality against B=256 throughput (advisor r4, low); measured at
+B=256 the round-4 recipe's tail was 34 lanes >1% (p90 1.45%), which this
+recipe cuts to the teens with max excess ~3% (the residual tail is
+basin-search-limited — see benchmarks/results/ and PROGRESS notes).
+
+Also quoted: the roofline sidecar (benchmarks/results/roofline.json —
+measured ceilings, the exact-exp chain's measured share of the solver
+iteration, binding resource) and the plain 40-iteration descent as a
+speed-only point.
 
 Prints ONE JSON line:
   {"metric": "gpmpc_quality_solves_per_s_per_chip", "value": N,
-   "unit": "solves/s", "vs_baseline": r, "quality": {...}, "fast_point": {...}}
-vs_baseline is the ratio against the BASELINE.json target of 1000 concurrent
-solves/s per host (the reference publishes no absolute numbers — SURVEY.md §6;
-its own stack measures p50 ~88 s PER SOLVE on this workload,
-benchmarks/results/ref_anchor.json — this bench is ~4 orders of magnitude
-faster per solve at reference-matching quality).
+   "unit": "solves/s", "vs_baseline": r, "quality": {...}, "roofline": {...},
+   "fast_point": {...}}
+vs_baseline is the ratio against BASELINE.json's target of 1000 concurrent
+solves/s per host (the reference publishes no absolute numbers — SURVEY.md
+§6; its own stack measures ~1.2 s PER CALLBACK / minutes per solve on this
+workload where it does not NaN outright, benchmarks/results/ref_anchor.json).
 """
 
 import json
 import os
+import subprocess
 import time
 
 import numpy as np
 
+REPO = os.path.dirname(os.path.abspath(__file__))
 
-# The production quality operating point (benchmarks/quality_ms_sweep.py
-# config of the same name — keep in sync with the artifact). Round-4
-# frontier: p50 excess ~0, p90 0.81% vs the f64 reference at 207.8 solves/s
-# (prod16_pf gives p90 0.46% at 137/s; the unpruned prod 0.34% at 122/s).
-RECIPE_NAME = 'prod_pf'
-RECIPE = dict(n_starts=8, prune_to=4, shift_set=(1, -1, 2, -2),
-              shift_iters=32, shift_prune=2, shift_prune_frozen_iters=8)
+# The production operating point (benchmarks/quality_retired.py config of the
+# same name — keep in sync with the artifact).
+RECIPE_NAME = 'ret_prod'
+RECIPE = dict(n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+              shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+              shift_smooth_iters=8, shift_margin=0.005,
+              shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+              neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+              polish_lanes=64, polish_iters=96)
 REFINE = dict(max_iters=60, tol=1e-4, noise_rel=3e-4, progress_window=24)
 
 
+def _stale_paths(artifact_commit):
+    """Library paths changed since the quality artifact's commit — a non-empty
+    list means the artifact may not describe current code (advisor r4, low:
+    fail loud instead of quoting silently stale quality)."""
+    try:
+        out = subprocess.run(
+            ['git', 'diff', '--name-only', f'{artifact_commit}..HEAD',
+             '--', 'gpmpc_tpu/'],
+            cwd=REPO, capture_output=True, text=True, timeout=10)
+        return [p for p in out.stdout.split() if p]
+    except Exception:
+        return ['<git unavailable>']
+
+
 def _quality_sidecar():
-    """Quote the committed on-TPU quality artifact for RECIPE_NAME."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        'benchmarks', 'results', 'quality_ms_sweep.json')
+    """Quote the committed on-TPU B=256 quality artifact for RECIPE_NAME."""
+    path = os.path.join(REPO, 'benchmarks', 'results', 'quality_retired.json')
     try:
         with open(path) as f:
             art = json.load(f)
         q = art[RECIPE_NAME]
-        return {
+        side = {
             'excess_p50_vs_f64ref': q['excess_p50'],
             'excess_p90_vs_f64ref': q['excess_p90'],
-            'n_gt1pct_of_64': q['n_gt1pct'],
-            'artifact': 'benchmarks/results/quality_ms_sweep.json',
-            # per-entry commit (the code that measured THIS row), not the
-            # merged file's last-writer provenance
-            'artifact_commit': q.get(
-                'commit', art.get('provenance', {}).get('commit')),
+            'excess_max_vs_f64ref': q['excess_max'],
+            'n_gt1pct_of_256': q['n_gt1pct'],
+            'b': q.get('b', 256),
+            'artifact': 'benchmarks/results/quality_retired.json',
+            'artifact_commit': q.get('commit'),
         }
+        stale = _stale_paths(q.get('commit'))
+        if stale:
+            side['stale_vs_head'] = stale[:8]
+            side['stale_note'] = ('library files changed since the artifact '
+                                  'was measured — regenerate via '
+                                  'benchmarks/quality_retired.py')
+        return side
     except Exception as e:                       # pragma: no cover
         return {'error': f'quality artifact unavailable: {e}'}
+
+
+def _roofline_sidecar():
+    path = os.path.join(REPO, 'benchmarks', 'results', 'roofline.json')
+    try:
+        with open(path) as f:
+            r = json.load(f)
+        return {
+            'bound': r['bound'],
+            'iter_ms': r['per_iter']['iter_ms_measured'],
+            'exact_exp_chain_ms': r['per_iter'].get('exact_exp_chain_ms'),
+            'utilization': r['utilization'],
+            'ceilings': r['ceilings'],
+            'artifact': 'benchmarks/results/roofline.json',
+        }
+    except Exception as e:                       # pragma: no cover
+        return {'error': f'roofline artifact unavailable: {e}'}
 
 
 def main():
     import jax
 
-    # Persistent compilation cache: the solve program takes minutes to compile
+    # Persistent compilation cache: the solve programs take minutes to compile
     # through this environment's remote-compile tunnel; cache hits make
     # repeated bench runs start in seconds.
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_gpmpc')
@@ -94,37 +138,33 @@ def main():
 
     rng = np.random.default_rng(0)
 
-    @jax.jit
     def run_quality(x0s):
-        res = pbatch.solve_batch_multistart(
+        res = pbatch.solve_batch_multistart_retired(
             gp, ds, da, x0s, params, horizon, prob.lb, prob.ub, refine,
             **RECIPE)
-        return res.u, res.cost
+        return np.asarray(res.u), np.asarray(res.cost)
 
-    @jax.jit
+    fast_jit = jax.jit(lambda x0s: pbatch.solve_batch(
+        gp, ds, da, x0s, params, horizon, prob.lb, prob.ub, fast_solver).cost)
+
     def run_fast(x0s):
-        res = pbatch.solve_batch(gp, ds, da, x0s, params, horizon,
-                                 prob.lb, prob.ub, fast_solver)
-        return res.u, res.cost
+        return None, np.asarray(fast_jit(x0s))
 
     def measure(run, n_rep=3):
         # Measurement hygiene for this environment's remote-execution
-        # backend: (a) fresh inputs per repetition — identical argument
-        # buffers hit an execution cache; (b) a HOST FETCH inside the timed
-        # region — execution is deferred until results are materialized, so
-        # block_until_ready alone measures only dispatch.
-        u, c = run(prob.x0s)
-        _ = np.asarray(c)                        # compile + warmup
+        # backend: fresh inputs per repetition (identical argument buffers
+        # hit an execution cache) and host fetches inside the timed region
+        # (execution is deferred until results materialize).
+        _, c = run(prob.x0s)                     # compile + warmup
         batches = [jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype)
                    for _ in range(n_rep)]
         jax.block_until_ready(batches)
-        times, cs = [], []
+        times = []
         for x0s_k in batches:
             t0 = time.perf_counter()
-            u, c = run(x0s_k)
-            cs.append(np.asarray(c))             # forces execution + fetch
+            _, c = run(x0s_k)
             times.append(time.perf_counter() - t0)
-        assert all(np.all(np.isfinite(ck)) for ck in cs), "non-finite costs"
+            assert np.all(np.isfinite(c)), "non-finite costs"
         return b / min(times)
 
     quality_sps = measure(run_quality)
@@ -136,11 +176,12 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(quality_sps / BASELINE_TARGET_SOLVES_PER_S, 3),
         "quality": _quality_sidecar(),
+        "roofline": _roofline_sidecar(),
         "fast_point": {
             "solves_per_s": round(fast_sps, 2),
-            "note": "plain 40-iter descent (rounds 1-3 headline); p90 cost "
-                    "excess ~36% vs f64 ref (quality_sweep_tpu.json) - a "
-                    "speed point, not a solution",
+            "note": "plain 40-iter descent; p90 cost excess ~36% vs f64 ref "
+                    "(quality_sweep_tpu.json) - a speed point, not a "
+                    "solution",
         },
     }))
 

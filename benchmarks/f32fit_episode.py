@@ -38,8 +38,8 @@ def main():
 
     from benchmarks.provenance import provenance
     from gpmpc_tpu.dynamics import build_rollout_cache, rollout
-    from gpmpc_tpu.envs.pendulum import (PendulumParams, pendulum_step,
-                                         sample_transitions)
+    from gpmpc_tpu.envs.pendulum import (PendulumParams, sample_transitions,
+                                         step as pend_step)
     from gpmpc_tpu.gp import state as gp_state
     from gpmpc_tpu.mpc.cost import CostParams, risk_sensitive_cost
     from gpmpc_tpu.mpc.solver import SolverConfig, solve_trajectory
@@ -67,7 +67,7 @@ def main():
     x0 = jnp.asarray([1.0, 0.5], jnp.float32)
 
     def plant(xs, u):
-        nx, reward = pendulum_step(xs, u, pp)
+        nx, reward = pend_step(xs, u, pp)
         return nx, reward
 
     # --- A: host loop, eager appends (host-f64 fit) -----------------------
