@@ -254,7 +254,8 @@ def _dot3_t(ao_hi, ao_lo, w):
     return dg(ao_hi, w_hi) + dg(ao_lo, w_hi) + dg(ao_hi, w_lo)
 
 
-def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
+def _make_rw_tied_streamed_kernel(btile: int, e_total: int,
+                                  red: str = 'mxu'):
     """Large-N tied kernel: the (E, N, N) blam no longer fits VMEM whole, so
     its tiles stream through grid axis j and the rw accumulator lives in
     persistent VMEM scratch, written out on the last j step. Each (b, j)
@@ -292,6 +293,23 @@ def _make_rw_tied_streamed_kernel(btile: int, e_total: int):
             for kk in range(1, d):
                 p_t += comb[:, kk:kk + 1] * gt_ref[k, kk:kk + 1, :]
             emat_t = _chain_exp(-0.25 * p_t)                   # (TJ, N)
+            if red == 'vpu':
+                # Pure-VPU reduction: the MXU dot wastes 124/128 of its M
+                # rows at W1 = 1+d = 4, and the kernel ablation
+                # (benchmarks/kernel_ablate.py) measured it as the call's
+                # largest component. W1 column broadcast-multiplies +
+                # sublane-tree sums are exact f32 (better than the bf16x3 /
+                # HIGHEST pass arithmetic) and measured ~13% faster per call
+                # at the headline shape (339 vs 389 us, TJ=256).
+                aod = comb[:, d:]                                 # (TJ, W1)
+                w1 = acc_ref.shape[2]
+                for e in range(e_total):
+                    w = blam_ref[e] * emat_t                      # (TJ, N)
+                    rows = [jnp.sum(aod[:, c:c + 1] * w, axis=0,
+                                    keepdims=True)                # (1, N)
+                            for c in range(w1)]
+                    acc_ref[k, e] += jnp.concatenate(rows, axis=0)
+                return carry
             ao_hi, ao_lo = _split_bf16(comb[:, d:])               # (TJ, W1)
             for e in range(e_total):
                 w = blam_ref[e] * emat_t                          # (TJ, N)
@@ -629,16 +647,19 @@ def _rw_call_tied(g, a, dvec, ao, blam):
         # (313.9 vs 385.4 us/call at B=256, N=256 — benchmarks/kernel_probe2)
         # thanks to ~10x smaller VMEM blocks (no d -> 128 lane padding) and
         # larger scenario tiles.
-        # tj = 128 (not _jtile): smaller column tiles shrink the per-scenario
-        # VMEM working set, which lets more scenarios share one grid cell —
-        # and blam re-streaming traffic is (B / bt) E N^2 4B, so bt is the
-        # lever that matters. GPMPC_TJ overrides for measurement.
+        # Round-5 retune (benchmarks/kernel_ablate.py, interleaved min-of-6):
+        # TJ = 256 when N allows (fewer fori/grid control iterations per
+        # element) + the pure-VPU W1-column reduction beat the round-4
+        # tj=128 + MXU-dot configuration 339 vs 389 us/call at the headline
+        # shape. GPMPC_TJ / GPMPC_KERNEL_RED override for measurement.
         import os
-        tj = int(os.environ.get('GPMPC_TJ', '128'))
+        tj = int(os.environ.get('GPMPC_TJ', '0')) or \
+            (256 if n % 256 == 0 else 128)
         if n % tj != 0:
             tj = 128
+        red = os.environ.get('GPMPC_KERNEL_RED', 'vpu')
         bt = _btile_streamed(b, n, tj, e, w1)
-        kernel = _make_rw_tied_streamed_kernel(bt, e)
+        kernel = _make_rw_tied_streamed_kernel(bt, e, red=red)
         g_t = jnp.swapaxes(g, 1, 2)                     # (B, d, N)
         dvr_t = dvec[:, None, :]                        # (B, 1, N)
         comb = jnp.concatenate([a, ao * dvec[..., None]],
