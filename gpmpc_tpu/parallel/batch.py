@@ -565,6 +565,49 @@ def _shift_u_batch(u, kk):
 
 
 @_functools.partial(jax.jit, static_argnames=(
+    'state_dim', 'action_dim', 'delta', 'shift_set'))
+def _frozen_pre_score(gp, x0s, params, u_inc,
+                      state_dim, action_dim, delta, shift_set,
+                      extra_cands=None):
+    """Jitted program C0 of the retired recipe (round-5 pre-gate): cheap
+    frozen-objective scores for ALL proposals.
+
+    Builds the same candidate set as _shift_score (incumbent at index 0,
+    time shifts of it, optional extras), but scores the RAW candidates
+    FORWARD-ONLY under the frozen-covariance objective, every candidate
+    borrowing its lane INCUMBENT's covariance trajectory — so the expensive
+    O(N^2) variance propagation runs once at width B (the incumbents)
+    instead of Ks*B, and no smoothing iterations are spent on lanes that
+    were never going to be admitted. Index 0's score is exact (the incumbent
+    under its own covariance IS its full objective); candidate scores carry
+    a frozen-covariance bias, which the caller absorbs with a looser
+    admission margin before the precise (smooth + full-score) stage runs on
+    the admitted subset only.
+
+    Returns (u_cands (Ks, B, H, da), scores (Ks, B), finite-guarded)."""
+    b, horizon, action_dim_u = u_inc.shape
+    cache = build_rollout_cache(gp, state_dim, action_dim)
+    parts = [u_inc] + [_shift_u_batch(u_inc, kk) for kk in shift_set]
+    if extra_cands is not None:
+        parts.extend(extra_cands[k] for k in range(extra_cands.shape[0]))
+    ks = len(parts)
+    u_c = jnp.concatenate(parts, axis=0)                      # (Ks*B, H, da)
+    _, covs_inc = rollout_batched(cache, x0s, u_inc, delta=delta)
+    cov_d = jax.lax.stop_gradient(
+        jnp.diagonal(covs_inc, axis1=2, axis2=3))             # (B, H+1, ds)
+    cov_t = jnp.tile(cov_d, (ks, 1, 1))
+    x0s_t = jnp.tile(x0s, (ks, 1))
+    params_t = _tile_params(params, b, ks)
+    axes_t = _params_axes(params_t)
+    cost_t = jax.vmap(risk_sensitive_cost, in_axes=(axes_t, 0, 0, 0))
+    means, cv = rollout_batched(cache, x0s_t, u_c, delta=delta,
+                                frozen_cov_diag=cov_t)
+    j = cost_t(params_t, means, cv, u_c)
+    j = jnp.where(jnp.isfinite(j), j, jnp.inf).reshape(ks, b)
+    return u_c.reshape(ks, b, horizon, action_dim_u), j
+
+
+@_functools.partial(jax.jit, static_argnames=(
     'state_dim', 'action_dim', 'delta', 'shift_set', 'smooth_iters'))
 def _shift_score(gp, x0s, params, u_inc, lb, ub, smooth_solver,
                  state_dim, action_dim, delta, shift_set, smooth_iters,
@@ -647,6 +690,12 @@ def solve_batch_multistart_retired(
         polish_iters: int = 96,
         refine_frozen_rounds: int = 0,
         refine_frozen_iters: int = 16,
+        pregate: bool = True,
+        pregate_margin_mult: float = 3.0,
+        rescue_lanes: int = 0,
+        rescue_starts: int = 6,
+        rescue_iters: int = 48,
+        rescue_scale: float = 0.9,
         diag: Optional[dict] = None) -> SolveResult:
     """The multistart production recipe with CONVERGED-LANE RETIREMENT — the
     round-5 composition of solve_batch_multistart and solve_batch_staged
@@ -674,9 +723,22 @@ def solve_batch_multistart_retired(
          (a basin jump can expose a further profitable shift); rounds stop
          early when no lane improves.
 
+    Round-5 additions:
+      - `pregate` (default True): the C-stage admission gate runs on cheap
+        frozen-objective scores of the RAW candidates (program C0,
+        _frozen_pre_score: one full-covariance rollout at width B, candidate
+        scores at `pregate_margin_mult` x the margin), and the smoothing +
+        full-objective scoring of the original C runs only on the admitted
+        padded subset — the full-width smoothing was ~half the exchange
+        phase's cost, spent mostly on lanes the gate then rejected.
+      - `rescue_lanes` > 0: a TAIL-RESCUE phase between the exchange rounds
+        and the polish — the top neighborhood-cost-outlier lanes get
+        `rescue_starts` fresh wide draws refined under the full objective at
+        compacted width (see the phase comment for the basin-floor evidence).
+
     A lane's final result can never be worse than its phase-A/B incumbent:
-    shift replacements apply only on strict cost improvement (the advisor-r4
-    incumbent guarantee holds by construction).
+    shift/rescue replacements apply only on strict cost improvement (the
+    advisor-r4 incumbent guarantee holds by construction).
     """
     import numpy as np
 
@@ -727,7 +789,7 @@ def solve_batch_multistart_retired(
             conv[idx_np] = np.asarray(res2.converged)
 
     do_exchange = bool(shift_set) or neighbor_set > 0 or propose_smoothed
-    if not do_exchange and not polish_lanes:
+    if not do_exchange and not polish_lanes and not rescue_lanes:
         return SolveResult(u=jnp.asarray(u), cost=jnp.asarray(cost),
                            iters=jnp.asarray(iters), pg_norm=jnp.asarray(pg),
                            converged=jnp.asarray(conv))
@@ -797,27 +859,55 @@ def solve_batch_multistart_retired(
         n_extra += nbr_idx.shape[1] + 2 * min(neighbor_shifted,
                                               nbr_idx.shape[1])
     shift_top = min(shift_top, 1 + len(shift_set) + n_extra)
+    # Default chunking makes program D's batch width equal program B's
+    # (chunk) so one compiled refinement program can serve both phases;
+    # measured on TPU the shift-gate admission is ~20% of lanes
+    # (phase_probe.json), so callers typically set shift_lanes_per_chunk
+    # to cover the admitted set in ONE dispatch (width scaling is
+    # sub-linear — one wide dispatch beats several narrow ones by the
+    # ~30 ms/dispatch tunnel overhead).
+    lanes_per_chunk = (shift_lanes_per_chunk
+                       or max(1, chunk // shift_top))
     prev_u = None
     for rnd in range(shift_rounds if do_exchange else 0):
         extra = _proposals(u)
-        # C: propose + smooth + score shifts (+ neighbors) for every lane.
-        u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
-                                   ub_j, solver, state_dim, action_dim, delta,
-                                   tuple(shift_set), shift_smooth_iters,
-                                   extra)
-        u_sh = np.asarray(u_sh)                               # (Ks, B, H, da)
-        j_pre = np.asarray(j_pre)                             # (Ks, B)
+        # C: score every lane's proposals. With pregate (round-5 default) the
+        # gate runs on CHEAP frozen-objective scores of the raw candidates
+        # (every candidate borrows its incumbent's covariance; O(N^2)
+        # variance prop runs once at width B) and the expensive smoothing +
+        # full-objective scoring runs ONLY on the admitted subset below.
+        # Without pregate (legacy), smoothing + full scoring runs for every
+        # candidate at width Ks*B — measured as ~half the exchange phase's
+        # cost, spent mostly on lanes the gate then rejects.
+        if pregate:
+            _, j_gate = _frozen_pre_score(
+                gp, x0s, params, jnp.asarray(u), state_dim, action_dim,
+                delta, tuple(shift_set), extra)
+            j_gate = np.asarray(j_gate)                       # (Ks, B)
+            # Frozen candidate scores carry a covariance bias — admit with a
+            # looser margin; the precise stage re-scores before refinement.
+            margin = (pregate_margin_mult * shift_margin
+                      * (1.0 + np.abs(cost)))
+            u_sh_all = j_all = None
+        else:
+            u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
+                                       ub_j, solver, state_dim, action_dim,
+                                       delta, tuple(shift_set),
+                                       shift_smooth_iters, extra)
+            u_sh_all = np.asarray(u_sh)                       # (Ks, B, H, da)
+            j_all = np.asarray(j_pre)                         # (Ks, B)
+            j_gate = j_all
+            margin = shift_margin * (1.0 + np.abs(cost))
 
-        # D: gate — only lanes where some SHIFTED candidate's smoothed score
-        # lands within shift_margin of the incumbent pay the full refinement.
-        # (The incumbent's own smoothed score, j_pre[0], is excluded from the
-        # gate: it is always ~cost.) Rounds >= 1 additionally require FRESH
-        # EVIDENCE: the lane's own incumbent or one of its neighbors' moved
-        # last round — otherwise a marginal-scoring proposal that already
-        # failed refinement re-admits the lane every round (measured: ~80
-        # re-admissions/round at B=256 with no quality gain).
-        margin = shift_margin * (1.0 + np.abs(cost))
-        gate = np.min(j_pre[1:], axis=0) < cost + margin
+        # D-gate: only lanes where some candidate scores within the margin of
+        # the incumbent pay the precise stage + full refinement. (The
+        # incumbent's own score, j_gate[0], is excluded: it is always ~cost.)
+        # Rounds >= 1 additionally require FRESH EVIDENCE: the lane's own
+        # incumbent or one of its neighbors' moved last round — otherwise a
+        # marginal-scoring proposal that already failed refinement re-admits
+        # the lane every round (measured: ~80 re-admissions/round at B=256
+        # with no quality gain).
+        gate = np.min(j_gate[1:], axis=0) < cost + margin
         if prev_u is not None:
             changed = np.any(np.abs(u - prev_u) > 1e-6, axis=(1, 2))  # (B,)
             fresh = changed.copy()
@@ -831,7 +921,7 @@ def solve_batch_multistart_retired(
         # lanes carry percent-scale gaps and rank first, so a fixed
         # per-round budget repairs the tail before spending on micro-gains.
         if shift_max_lanes and worthy.size > shift_max_lanes:
-            gain = (cost[worthy] - np.min(j_pre[1:, worthy], axis=0)) \
+            gain = (cost[worthy] - np.min(j_gate[1:, worthy], axis=0)) \
                 / (1.0 + np.abs(cost[worthy]))
             worthy = worthy[np.argsort(-gain)[:shift_max_lanes]]
         if diag is not None:
@@ -840,24 +930,40 @@ def solve_batch_multistart_retired(
                 diag['n_shift_worthy'] = int(worthy.size)
         if not worthy.size:
             break
-        # Default chunking makes program D's batch width equal program B's
-        # (chunk) so one compiled refinement program can serve both phases;
-        # measured on TPU the shift-gate admission is ~20% of lanes
-        # (phase_probe.json), so callers typically set shift_lanes_per_chunk
-        # to cover the admitted set in ONE dispatch (width scaling is
-        # sub-linear — one wide dispatch beats several narrow ones by the
-        # ~30 ms/dispatch tunnel overhead).
-        lanes_per_chunk = (shift_lanes_per_chunk
-                           or max(1, chunk // shift_top))
         solver_d = solver.replace(max_iters=shift_iters)
         n_pad = (-worthy.size) % lanes_per_chunk
         worthy_p = np.concatenate(
             [worthy, np.full(n_pad, worthy[0], worthy.dtype)])
+        if pregate:
+            # Precise stage (smooth + full-objective score) at the PADDED
+            # subset width — one compiled program per (Ks, lanes_per_chunk).
+            u_sh_list, j_list = [], []
+            extra_np = None if extra is None else np.asarray(extra)
+            for c0 in range(0, worthy_p.size, lanes_per_chunk):
+                ss = worthy_p[c0:c0 + lanes_per_chunk]
+                idx_s = jnp.asarray(ss)
+                ex_s = (None if extra_np is None
+                        else jnp.asarray(extra_np[:, ss]))
+                u_sh_s, j_s = _shift_score(
+                    gp, x0s[idx_s], _gather_params(params, b, idx_s),
+                    jnp.asarray(u[ss]), lb_j, ub_j, solver, state_dim,
+                    action_dim, delta, tuple(shift_set), shift_smooth_iters,
+                    ex_s)
+                u_sh_list.append(np.asarray(u_sh_s))
+                j_list.append(np.asarray(j_s))
+            u_cands = np.concatenate(u_sh_list, axis=1)       # (Ks, Lp, ...)
+            j_cands = np.concatenate(j_list, axis=1)
+            j_cands = np.where(np.isfinite(j_cands), j_cands, np.inf)
+        else:
+            u_cands = u_sh_all[:, worthy_p]
+            j_cands = j_all[:, worthy_p]
         n_improved = 0
         for c0 in range(0, worthy_p.size, lanes_per_chunk):
-            lanes = worthy_p[c0:c0 + lanes_per_chunk]         # (L,)
-            order = np.argsort(j_pre[:, lanes], axis=0)[:shift_top]  # (T, L)
-            u_init_c = u_sh[order, lanes].reshape(
+            loc = np.arange(c0, min(c0 + lanes_per_chunk, worthy_p.size))
+            lanes = worthy_p[loc]                             # (L,)
+            j_loc = j_cands[:, loc]
+            order = np.argsort(j_loc, axis=0)[:shift_top]     # (T, L)
+            u_init_c = u_cands[order, loc[None, :]].reshape(
                 shift_top * lanes.size, horizon, action_dim)
             idx_t = jnp.asarray(np.tile(lanes, shift_top))
             res_d = _refine_chunk(gp, x0s[idx_t],
@@ -879,6 +985,69 @@ def solve_batch_multistart_retired(
                 shift_top, lanes.size).max(axis=0)
         if n_improved == 0:
             break
+
+    # TAIL RESCUE (round-5 basin floor fix): the residual >1% tail is
+    # basin-search-limited — diverse expensive configs miss DIFFERENT lanes
+    # and their per-lane ensemble-min nearly closes the tail
+    # (QUALITY_NOTES_r05 §4). Lanes that missed their basin advertise
+    # themselves as NEIGHBORHOOD COST OUTLIERS: cost sitting above the
+    # (x0, gamma)-neighborhood median after the exchange rounds have
+    # propagated good basins. Give the top `rescue_lanes` outliers
+    # `rescue_starts` fresh wide draws (+ u = 0 and the incumbent as guards)
+    # and refine ALL of them under the full objective at compacted width;
+    # accept per lane on strict improvement only.
+    if rescue_lanes > 0 and b > 1:
+        if nbr_idx is None:
+            feats = [np.asarray(x0s, np.float64)]
+            g = params.gamma
+            if hasattr(g, 'ndim') and getattr(g, 'ndim', 0) == 1:
+                feats.append(np.asarray(g, np.float64)[:, None])
+            f = np.concatenate(feats, axis=1)
+            f = (f - f.mean(0)) / (f.std(0) + 1e-12)
+            d2 = ((f[:, None] - f[None]) ** 2).sum(-1)
+            np.fill_diagonal(d2, np.inf)
+            nbr_idx = np.argsort(d2, axis=1)[:, :min(6, b - 1)]
+        med = np.median(cost[nbr_idx], axis=1)
+        proxy = (cost - med) / (1.0 + np.abs(cost))
+        n_r = min(rescue_lanes, b)
+        sel = np.argsort(-proxy)[:n_r]
+        sel = sel[proxy[sel] > 1e-4]          # only genuine outliers pay
+        if diag is not None:
+            diag['n_rescue'] = int(sel.size)
+        if sel.size:
+            sel_p = np.concatenate(
+                [sel, np.full(n_r - sel.size, sel[0], sel.dtype)])
+            kr = rescue_starts + 2
+            rngr = np.random.default_rng(seed + 7919)
+            dt_np = np.asarray(x0s).dtype
+            lo = np.broadcast_to(np.asarray(lb, dt_np),
+                                 (horizon, action_dim))
+            hi = np.broadcast_to(np.asarray(ub, dt_np),
+                                 (horizon, action_dim))
+            mid, span = 0.5 * (lo + hi), 0.5 * (hi - lo)
+            draws = mid + rescue_scale * span * rngr.uniform(
+                -1.0, 1.0, (rescue_starts, n_r, horizon, action_dim))
+            starts = np.concatenate(
+                [u[sel_p][None],
+                 np.zeros((1, n_r, horizon, action_dim)),
+                 draws], axis=0).astype(dt_np)                # (kr, nr, H, da)
+            solver_r = solver.replace(max_iters=rescue_iters)
+            idx_t = jnp.asarray(np.tile(sel_p, kr))
+            res_r = _refine_chunk(
+                gp, x0s[idx_t], _gather_params(params, b, idx_t),
+                jnp.asarray(starts.reshape(kr * n_r, horizon, action_dim)),
+                lb_j, ub_j, solver_r, state_dim, action_dim, delta)
+            j_r = np.asarray(res_r.cost).reshape(kr, n_r)
+            j_r = np.where(np.isfinite(j_r), j_r, np.inf)
+            best_k = np.argmin(j_r, axis=0)
+            j_best = j_r[best_k, np.arange(n_r)]
+            u_r = np.asarray(res_r.u).reshape(kr, n_r, horizon, action_dim)
+            improve = j_best < cost[sel_p]
+            upd = sel_p[improve]
+            u[upd] = u_r[best_k[improve], np.nonzero(improve)[0]]
+            cost[upd] = j_best[improve]
+            iters[sel_p] = iters[sel_p] + np.asarray(res_r.iters).reshape(
+                kr, n_r).max(axis=0)
 
     # FINAL POLISH (round-5 valley fix): some lanes stall far above their
     # basin floor — measured: warm f64 refinement from the f32 incumbent

@@ -70,3 +70,43 @@ def test_never_worse_than_phase_a_incumbent(integrator_problem):
     # budget1 == max_iters: phase A identical, so the incumbents match and
     # the gated shift can only improve.
     assert np.all(c1 <= c0 + 1e-12), (c0, c1)
+
+
+def test_pregate_matches_legacy_invariant(integrator_problem):
+    """The frozen pre-gate (round 5) changes which lanes pay the precise
+    stage, never the acceptance rule: both paths keep the incumbent
+    guarantee and solve the known-answer problem."""
+    gp, x0s, params = integrator_problem
+    solver = SolverConfig(max_iters=30, tol=1e-6, noise_rel=3e-4,
+                          progress_window=10)
+    kw = dict(n_starts=4, prune_to=2, budget1=30, tail_divisor=3,
+              shift_set=(1, -1), shift_iters=8, shift_top=2,
+              shift_smooth_iters=2, shift_margin=1.0)
+    for pregate in (False, True):
+        res = pbatch.solve_batch_multistart_retired(
+            gp, 1, 1, x0s, params, 5, -1.0, 1.0, solver,
+            pregate=pregate, **kw)
+        u = np.asarray(res.u)
+        np.testing.assert_allclose(u, -np.ones_like(u), atol=5e-3,
+                                   err_msg=f'pregate={pregate}')
+
+
+def test_rescue_phase_improves_only(integrator_problem):
+    """The tail-rescue phase (neighborhood-outlier multistart) accepts on
+    strict improvement only: enabling it can never worsen any lane, and its
+    diag counter reports."""
+    gp, x0s, params = integrator_problem
+    solver = SolverConfig(max_iters=30, tol=1e-6, noise_rel=3e-4,
+                          progress_window=10)
+    kw = dict(n_starts=4, prune_to=2, budget1=30, tail_divisor=3,
+              shift_set=())
+    res_plain = pbatch.solve_batch_multistart_retired(
+        gp, 1, 1, x0s, params, 5, -1.0, 1.0, solver, **kw)
+    diag = {}
+    res_rescue = pbatch.solve_batch_multistart_retired(
+        gp, 1, 1, x0s, params, 5, -1.0, 1.0, solver,
+        rescue_lanes=3, rescue_starts=3, rescue_iters=10, diag=diag, **kw)
+    c0 = np.asarray(res_plain.cost)
+    c1 = np.asarray(res_rescue.cost)
+    assert np.all(c1 <= c0 + 1e-12), (c0, c1)
+    assert 'n_rescue' in diag
