@@ -211,6 +211,76 @@ CONFIGS = {
         shift_lanes_per_chunk=64, shift_rounds=1, shift_max_lanes=64,
         neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
         polish_lanes=48, polish_iters=80)),
+    # ---- round-5b: VPU-reduction kernel + frozen pre-gate + tail rescue ----
+    # ret_prod re-measured under the new kernel + pregate gives the fresh
+    # baseline; _r adds the neighborhood-outlier rescue (basin-floor attack);
+    # _rx is the quality-max point (wider rescue + 3 rounds).
+    'ret_prod_r': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96,
+        rescue_lanes=24, rescue_starts=6, rescue_iters=48)),
+    'ret_prod_rx': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2, 3, -3), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=8, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96,
+        rescue_lanes=32, rescue_starts=8, rescue_iters=60)),
+    # Kernel-isolation control: ret_prod with the legacy full-width exchange
+    # (pregate off) — separates the VPU-reduction kernel's quality effect
+    # from the pre-gate's.
+    'ret_prod_nopre': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, pregate=False)),
+    # ---- round-5c: production candidates under the VPU kernel. The kernel
+    # is numerically equivalent to the MXU path (p50 rel err vs f64 8.8e-6
+    # vs 7.8e-6 on the real blam) but the changed arithmetic reshuffles
+    # basin outcomes; these configs lean on the strengthened rescue
+    # (neighbor-incumbent starts) + exchange rounds for robust tail repair.
+    'ret_r5b_a': ('retired', dict(     # legacy exchange + strong rescue
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, pregate=False,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    'ret_r5b_b': ('retired', dict(     # prefilter-6 pregate + strong rescue
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, prefilter=6,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    'ret_r5b_c': ('retired', dict(     # quality-max: 3 rounds, 8 neighbors
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2, 3, -3), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=8, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, prefilter=6,
+        rescue_lanes=32, rescue_starts=8, rescue_iters=60)),
+    # Speed point: trimmed refine + single exchange round + light polish +
+    # small rescue.
+    'ret_fast_r': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=48, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=40, shift_top=2,
+        shift_smooth_iters=6, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=64,
+        rescue_lanes=16, rescue_starts=6, rescue_iters=40),
+        dict(max_iters=48)),
 }
 
 

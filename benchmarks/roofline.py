@@ -193,23 +193,30 @@ def main():
     n_cap = int(prob.gp.x.shape[0])
     e = int(prob.gp.beta.shape[0])
     d = int(prob.gp.x.shape[1])
-    nt = n_cap // 128
-    pair_frac = (nt + 1) / (2 * nt)
     n2 = n_cap * n_cap
-    exps_per_iter = b * horizon * int(n2 * pair_frac)   # tied: E-independent
-    # VPU ops: the chain itself (~9 polynomial FMAs + 3 chain mults per
-    # element, shared across outputs) PLUS the per-OUTPUT pair-tile work
-    # (blam multiply, dv scalings, bf16x3 operand splits, accumulator adds —
-    # ~8 elementwise ops per pair element per output).
-    vpu_ops_per_iter = exps_per_iter * (9 + 3) + e * exps_per_iter * 8
-    # MXU: p/rw reductions per (scenario, output, step) pair tiles.
-    mxu_per_iter = b * e * horizon * 2 * int(n2 * pair_frac) * (2 * d + 1)
+    # PRODUCTION KERNEL (round 5): streamed column sweep, tied chain, pure
+    # VPU — the round-5 retune replaced the W1-row MXU reduction (124/128 M
+    # rows wasted; measured as the call's largest component,
+    # benchmarks/kernel_ablate.py) with W1 column broadcast-multiplies +
+    # sublane-tree sums. The full N^2 chain runs once per (scenario, step),
+    # shared across outputs.
+    exps_per_iter = b * horizon * n2                    # tied: E-independent
+    # VPU ops per chain element: d outer-product FMAs (p) + ~12 exact-exp
+    # polynomial ops + 1 scale, shared across outputs; per OUTPUT: blam
+    # multiply + W1 reduction (mul+add per column) ~ 1 + 2 * (1 + d).
+    vpu_ops_per_iter = exps_per_iter * (d + 13) \
+        + e * exps_per_iter * (1 + 2 * (1 + d))
+    # MXU: no longer used inside the kernel (p and the reduction are VPU);
+    # residual MXU work (L-BFGS two-loop einsums, bwd O(Nd) contractions,
+    # mean-prop matmuls) is O(B N d) per step — counted for the ratio.
+    mxu_per_iter = b * e * horizon * 2 * n_cap * (2 * d + 2)
     hbm_per_step = (e * n2 * 4                       # blam read
                     + b * e * n_cap * (1 + d) * 4 * 2  # rw write + bwd read
                     + b * e * n_cap * (2 * d + 1) * 4)  # prep tensors
     hbm_per_iter = horizon * hbm_per_step
     out['shape'] = {'B': b, 'E': e, 'H': horizon, 'N_capacity': n_cap, 'd': d,
-                    'kernel': 'sym-pair, tied chain'}
+                    'kernel': 'streamed column sweep, tied chain, '
+                              'VPU reduction'}
     out['per_iter'] = {
         'chain_exps': exps_per_iter,
         'vpu_ops_est': vpu_ops_per_iter,
@@ -304,7 +311,8 @@ def main():
     # shared + ~8 per-output tile ops per pair element) is counted at the
     # measured FMA rate. Their sum over the measured iteration time is the
     # VPU-occupancy estimate.
-    nonexp_ops = exps_per_iter * 3 + e * exps_per_iter * 8
+    nonexp_ops = exps_per_iter * (d + 1) \
+        + e * exps_per_iter * (1 + 2 * (1 + d))
     nonexp_s = nonexp_ops / (vpu_ops_ceiling * 1e9)
     chain_s = (out['per_iter'].get('exact_exp_chain_ms') or 0.0) / 1e3
     out['per_iter']['nonexp_vpu_ms_est'] = round(nonexp_s * 1e3, 3)
@@ -320,12 +328,16 @@ def main():
         'utilization = analytic useful work per measured solver iteration / '
         'empirically measured ceiling on this chip (differenced '
         'microbenchmarks; matmul and HBM land within ~7% of v5e datasheet '
-        'peaks). vpu_chain counts the sym-pair kernel exp chain at ~12 '
-        'ops/element; iter_ms_hw_exp gives the measured (model-free) split '
-        'of the iteration into exp-chain vs everything else. Work outside '
-        'the chain (mean prop, small-chol cost, L-BFGS two-loop, bwd '
-        'einsums, scan overhead) is not counted as useful, so utilizations '
-        'understate true occupancy. exp_exact_gexp_s is the XLA-lowered '
+        'peaks). vpu_chain counts the streamed column-sweep kernel (round-5 '
+        'pure-VPU form: p outer products + exact exp + blam multiply + W1 '
+        'column reduction); iter_ms_hw_exp gives the measured (model-free) '
+        'split of the iteration into exp-chain vs everything else. The '
+        'kernel ablation (kernel_ablate.json) additionally measured a '
+        '~115 us/call grid/DMA/control floor — ~30% of each kernel call is '
+        'not arithmetic at all, so the arithmetic utilizations understate '
+        'true occupancy. Work outside the kernel (mean prop, small-chol '
+        'cost, L-BFGS two-loop, bwd einsums, scan overhead) is also not '
+        'counted as useful. exp_exact_gexp_s is the XLA-lowered '
         'polynomial chain — Mosaic lowers the same polynomial several times '
         'better in-kernel; it is recorded for context, not used as the '
         'ceiling.')

@@ -691,7 +691,7 @@ def solve_batch_multistart_retired(
         refine_frozen_rounds: int = 0,
         refine_frozen_iters: int = 16,
         pregate: bool = True,
-        pregate_margin_mult: float = 3.0,
+        prefilter: int = 4,
         rescue_lanes: int = 0,
         rescue_starts: int = 6,
         rescue_iters: int = 48,
@@ -724,13 +724,14 @@ def solve_batch_multistart_retired(
          early when no lane improves.
 
     Round-5 additions:
-      - `pregate` (default True): the C-stage admission gate runs on cheap
-        frozen-objective scores of the RAW candidates (program C0,
-        _frozen_pre_score: one full-covariance rollout at width B, candidate
-        scores at `pregate_margin_mult` x the margin), and the smoothing +
-        full-objective scoring of the original C runs only on the admitted
-        padded subset — the full-width smoothing was ~half the exchange
-        phase's cost, spent mostly on lanes the gate then rejected.
+      - `pregate` (default True): the per-lane candidate set is first cut
+        from Ks to 1 + `prefilter` by cheap frozen-objective scores of the
+        RAW candidates (program C0, _frozen_pre_score: one full-covariance
+        rollout at width B), and the smoothing + full-objective scoring of
+        the original C runs at the reduced width; the gate and ranking then
+        use SMOOTHED FULL scores exactly as in the legacy path. (Gating
+        LANES on raw frozen scores instead was measured to nullify the
+        neighbor exchange — see the in-loop comment.)
       - `rescue_lanes` > 0: a TAIL-RESCUE phase between the exchange rounds
         and the polish — the top neighborhood-cost-outlier lanes get
         `rescue_starts` fresh wide draws refined under the full objective at
@@ -872,32 +873,40 @@ def solve_batch_multistart_retired(
     for rnd in range(shift_rounds if do_exchange else 0):
         extra = _proposals(u)
         # C: score every lane's proposals. With pregate (round-5 default) the
-        # gate runs on CHEAP frozen-objective scores of the raw candidates
-        # (every candidate borrows its incumbent's covariance; O(N^2)
-        # variance prop runs once at width B) and the expensive smoothing +
-        # full-objective scoring runs ONLY on the admitted subset below.
-        # Without pregate (legacy), smoothing + full scoring runs for every
-        # candidate at width Ks*B — measured as ~half the exchange phase's
-        # cost, spent mostly on lanes the gate then rejects.
+        # CANDIDATE SET is first cut from Ks to 1 + `prefilter` per lane by
+        # cheap frozen-objective scores of the raw candidates (program C0:
+        # every candidate borrows its incumbent's covariance, so the O(N^2)
+        # variance prop runs once at width B), and the expensive smoothing +
+        # full-objective scoring stage runs at the reduced width. The gate,
+        # candidate ranking, and margins then operate on SMOOTHED FULL
+        # scores exactly as in the legacy path — a first cut that gated
+        # LANES on raw frozen scores was measured to nullify the neighbor
+        # exchange entirely (raw basin-different proposals score far off
+        # before smoothing; quality_retired.json commit 51a46d6: n_gt1pct
+        # 17 -> 51). Per-lane top-P keeps every lane's best-looking
+        # proposals in play while dropping the ~2/3 that score hopeless.
         if pregate:
-            _, j_gate = _frozen_pre_score(
+            u_all, j0 = _frozen_pre_score(
                 gp, x0s, params, jnp.asarray(u), state_dim, action_dim,
                 delta, tuple(shift_set), extra)
-            j_gate = np.asarray(j_gate)                       # (Ks, B)
-            # Frozen candidate scores carry a covariance bias — admit with a
-            # looser margin; the precise stage re-scores before refinement.
-            margin = (pregate_margin_mult * shift_margin
-                      * (1.0 + np.abs(cost)))
-            u_sh_all = j_all = None
+            u_all = np.asarray(u_all)                         # (Ks, B, ...)
+            j0 = np.asarray(j0)
+            p_keep = min(prefilter, j0.shape[0] - 1)
+            order0 = np.argsort(j0[1:], axis=0)[:p_keep]      # (P, B)
+            cand = u_all[1:][order0, np.arange(b)[None]]      # (P, B, H, da)
+            u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
+                                       ub_j, solver, state_dim, action_dim,
+                                       delta, (), shift_smooth_iters,
+                                       jnp.asarray(cand))
         else:
             u_sh, j_pre = _shift_score(gp, x0s, params, jnp.asarray(u), lb_j,
                                        ub_j, solver, state_dim, action_dim,
                                        delta, tuple(shift_set),
                                        shift_smooth_iters, extra)
-            u_sh_all = np.asarray(u_sh)                       # (Ks, B, H, da)
-            j_all = np.asarray(j_pre)                         # (Ks, B)
-            j_gate = j_all
-            margin = shift_margin * (1.0 + np.abs(cost))
+        u_sh_all = np.asarray(u_sh)                       # (Ks', B, H, da)
+        j_all = np.asarray(j_pre)                         # (Ks', B)
+        j_gate = j_all
+        margin = shift_margin * (1.0 + np.abs(cost))
 
         # D-gate: only lanes where some candidate scores within the margin of
         # the incumbent pay the precise stage + full refinement. (The
@@ -934,55 +943,35 @@ def solve_batch_multistart_retired(
         n_pad = (-worthy.size) % lanes_per_chunk
         worthy_p = np.concatenate(
             [worthy, np.full(n_pad, worthy[0], worthy.dtype)])
-        if pregate:
-            # Precise stage (smooth + full-objective score) at the PADDED
-            # subset width — one compiled program per (Ks, lanes_per_chunk).
-            u_sh_list, j_list = [], []
-            extra_np = None if extra is None else np.asarray(extra)
-            for c0 in range(0, worthy_p.size, lanes_per_chunk):
-                ss = worthy_p[c0:c0 + lanes_per_chunk]
-                idx_s = jnp.asarray(ss)
-                ex_s = (None if extra_np is None
-                        else jnp.asarray(extra_np[:, ss]))
-                u_sh_s, j_s = _shift_score(
-                    gp, x0s[idx_s], _gather_params(params, b, idx_s),
-                    jnp.asarray(u[ss]), lb_j, ub_j, solver, state_dim,
-                    action_dim, delta, tuple(shift_set), shift_smooth_iters,
-                    ex_s)
-                u_sh_list.append(np.asarray(u_sh_s))
-                j_list.append(np.asarray(j_s))
-            u_cands = np.concatenate(u_sh_list, axis=1)       # (Ks, Lp, ...)
-            j_cands = np.concatenate(j_list, axis=1)
-            j_cands = np.where(np.isfinite(j_cands), j_cands, np.inf)
-        else:
-            u_cands = u_sh_all[:, worthy_p]
-            j_cands = j_all[:, worthy_p]
+        u_cands = u_sh_all[:, worthy_p]
+        j_cands = j_all[:, worthy_p]
+        shift_top_e = min(shift_top, j_cands.shape[0])
         n_improved = 0
         for c0 in range(0, worthy_p.size, lanes_per_chunk):
             loc = np.arange(c0, min(c0 + lanes_per_chunk, worthy_p.size))
             lanes = worthy_p[loc]                             # (L,)
             j_loc = j_cands[:, loc]
-            order = np.argsort(j_loc, axis=0)[:shift_top]     # (T, L)
+            order = np.argsort(j_loc, axis=0)[:shift_top_e]   # (T, L)
             u_init_c = u_cands[order, loc[None, :]].reshape(
-                shift_top * lanes.size, horizon, action_dim)
-            idx_t = jnp.asarray(np.tile(lanes, shift_top))
+                shift_top_e * lanes.size, horizon, action_dim)
+            idx_t = jnp.asarray(np.tile(lanes, shift_top_e))
             res_d = _refine_chunk(gp, x0s[idx_t],
                                   _gather_params(params, b, idx_t),
                                   jnp.asarray(u_init_c), lb_j, ub_j, solver_d,
                                   state_dim, action_dim, delta)
-            j_d = np.asarray(res_d.cost).reshape(shift_top, lanes.size)
+            j_d = np.asarray(res_d.cost).reshape(shift_top_e, lanes.size)
             j_d = np.where(np.isfinite(j_d), j_d, np.inf)
             best_t = np.argmin(j_d, axis=0)                   # (L,)
             j_best = j_d[best_t, np.arange(lanes.size)]
             u_d = np.asarray(res_d.u).reshape(
-                shift_top, lanes.size, horizon, action_dim)
+                shift_top_e, lanes.size, horizon, action_dim)
             improve = j_best < cost[lanes]
             upd = lanes[improve]
             n_improved += int(improve.sum())
             u[upd] = u_d[best_t[improve], np.nonzero(improve)[0]]
             cost[upd] = j_best[improve]
             iters[lanes] = iters[lanes] + np.asarray(res_d.iters).reshape(
-                shift_top, lanes.size).max(axis=0)
+                shift_top_e, lanes.size).max(axis=0)
         if n_improved == 0:
             break
 
@@ -1017,7 +1006,8 @@ def solve_batch_multistart_retired(
         if sel.size:
             sel_p = np.concatenate(
                 [sel, np.full(n_r - sel.size, sel[0], sel.dtype)])
-            kr = rescue_starts + 2
+            kr = rescue_starts + 2 + min(2, nbr_idx.shape[1])
+            # starts: incumbent, u = 0, best <=2 neighbor incumbents, draws
             rngr = np.random.default_rng(seed + 7919)
             dt_np = np.asarray(x0s).dtype
             lo = np.broadcast_to(np.asarray(lb, dt_np),
@@ -1027,9 +1017,19 @@ def solve_batch_multistart_retired(
             mid, span = 0.5 * (lo + hi), 0.5 * (hi - lo)
             draws = mid + rescue_scale * span * rngr.uniform(
                 -1.0, 1.0, (rescue_starts, n_r, horizon, action_dim))
+            # Best two neighbors' incumbents as DIRECT starts: the exchange
+            # phase only reaches a neighbor's basin through smoothing +
+            # scoring; full refinement from the raw neighbor profile is a
+            # different (and sometimes the only successful) descent path.
+            n_nb = min(2, nbr_idx.shape[1])
+            nb_cost = cost[nbr_idx[sel_p]]                    # (nr, M)
+            nb_rank = np.argsort(nb_cost, axis=1)[:, :n_nb]
+            nb_starts = u[nbr_idx[sel_p][np.arange(n_r)[:, None],
+                                         nb_rank]]           # (nr, n_nb, ...)
             starts = np.concatenate(
                 [u[sel_p][None],
                  np.zeros((1, n_r, horizon, action_dim)),
+                 np.swapaxes(nb_starts, 0, 1),
                  draws], axis=0).astype(dt_np)                # (kr, nr, H, da)
             solver_r = solver.replace(max_iters=rescue_iters)
             idx_t = jnp.asarray(np.tile(sel_p, kr))
