@@ -270,6 +270,36 @@ CONFIGS = {
         neighbor_set=8, neighbor_shifted=1, propose_smoothed=True,
         polish_lanes=64, polish_iters=96, prefilter=6,
         rescue_lanes=32, rescue_starts=8, rescue_iters=60)),
+    # Round-5 FINAL production candidate (restored mxu kernel arithmetic):
+    # ret_prod + prefilter pregate + neighbor-incumbent rescue.
+    'ret_r5m': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, prefilter=6,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    # Final production tuning: start diversity (12 starts incl. 3 jittered
+    # zeros — the descent-path diversity measured to recover cold-start-family
+    # basins) + wider, deeper polish (the 1-2%% residual band is the VALLEY
+    # class that warm refinement closes).
+    'ret_r5c_d': ('retired', dict(
+        n_starts=12, n_zero_starts=3, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=96, polish_iters=128, pregate=False,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    'ret_r5c_e': ('retired', dict(
+        n_starts=12, n_zero_starts=3, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=96, polish_iters=128, prefilter=6,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
     # Speed point: trimmed refine + single exchange round + light polish +
     # small rescue.
     'ret_fast_r': ('retired', dict(

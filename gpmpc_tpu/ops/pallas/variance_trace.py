@@ -647,17 +647,27 @@ def _rw_call_tied(g, a, dvec, ao, blam):
         # (313.9 vs 385.4 us/call at B=256, N=256 — benchmarks/kernel_probe2)
         # thanks to ~10x smaller VMEM blocks (no d -> 128 lane padding) and
         # larger scenario tiles.
-        # Round-5 retune (benchmarks/kernel_ablate.py, interleaved min-of-6):
-        # TJ = 256 when N allows (fewer fori/grid control iterations per
-        # element) + the pure-VPU W1-column reduction beat the round-4
-        # tj=128 + MXU-dot configuration 339 vs 389 us/call at the headline
-        # shape. GPMPC_TJ / GPMPC_KERNEL_RED override for measurement.
+        # Reduction/tile config (GPMPC_KERNEL_RED / GPMPC_TJ):
+        #   'mxu' + tj=128 (default) — bf16x3/HIGHEST MXU reduction, the
+        #     round-4 production arithmetic;
+        #   'vpu' + tj=256 — round-5 retune (benchmarks/kernel_ablate.py):
+        #     pure-VPU W1-column reduction, measured 339 vs 389 us/call and
+        #     full solver iteration 6.7 vs 8.3 ms (+22%% plain-solve
+        #     throughput, 946 vs 775 solves/s at B=256), numerically
+        #     EQUIVALENT pointwise (p50 rel err vs f64 8.8e-6 vs 7.8e-6 on
+        #     the real headline blam).
+        # 'vpu' stays opt-in for the production QUALITY path: the changed
+        # (equally accurate) arithmetic reshuffles the chaotic descent's
+        # basin outcomes, and the round-5 tail machinery measured ~10 more
+        # >1%%-excess lanes at B=256 under it (quality_retired.json
+        # ret_prod_nopre/ret_r5b_* vs ret_prod@f6167af) — the quality-paired
+        # headline keeps the arithmetic its tail tuning is co-adapted to.
         import os
-        tj = int(os.environ.get('GPMPC_TJ', '0')) or \
-            (256 if n % 256 == 0 else 128)
+        red = os.environ.get('GPMPC_KERNEL_RED', 'mxu')
+        tj_default = (256 if n % 256 == 0 else 128) if red == 'vpu' else 128
+        tj = int(os.environ.get('GPMPC_TJ', '0')) or tj_default
         if n % tj != 0:
             tj = 128
-        red = os.environ.get('GPMPC_KERNEL_RED', 'vpu')
         bt = _btile_streamed(b, n, tj, e, w1)
         kernel = _make_rw_tied_streamed_kernel(bt, e, red=red)
         g_t = jnp.swapaxes(g, 1, 2)                     # (B, d, N)
