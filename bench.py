@@ -15,8 +15,11 @@ point against the 600-iteration f64 reference
 (benchmarks/results/quality_retired.json + quality_ref_b256.npz) — round 4
 quoted B=64 quality against B=256 throughput (advisor r4, low); measured at
 B=256 the round-4 recipe's tail was 34 lanes >1% (p90 1.45%), which this
-recipe cuts to the teens with max excess ~3% (the residual tail is
-basin-search-limited — see benchmarks/results/ and PROGRESS notes).
+recipe cuts to 17 with max excess 3.3% (p90 0.58%). The quality_max_point
+sidecar quotes ret_r5m (prefilter pregate + neighborhood-outlier rescue):
+p90 0.47%, n>1% 15/256, max 2.9% at 91.6 solves/s — the residual tail is
+basin-search-limited (QUALITY_NOTES_r05.md; the per-lane ensemble floor
+across diverse configs is ~8 lanes).
 
 Also quoted: the roofline sidecar (benchmarks/results/roofline.json —
 measured ceilings, the exact-exp chain's measured share of the solver
@@ -43,14 +46,19 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 # The production operating point (benchmarks/quality_retired.py config of the
-# same name — keep in sync with the artifact).
-RECIPE_NAME = 'ret_prod'
+# same name — keep in sync with the artifact): the round-5a exchange recipe
+# (legacy full-width smoothed scoring, pregate=False) — measured the best
+# solves/s at p90 < 1% (112.9 at p90 0.58%). The QUALITY-MAX sidecar quotes
+# ret_r5m (prefilter pregate + neighbor-incumbent rescue: p90 0.47%,
+# n>1% 15/256, max 2.9% at 91.6 solves/s — the lowest tail measured).
+RECIPE_NAME = 'ret_prod_nopre'
 RECIPE = dict(n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
               shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
               shift_smooth_iters=8, shift_margin=0.005,
               shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
               neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
-              polish_lanes=64, polish_iters=96)
+              polish_lanes=64, polish_iters=96, pregate=False)
+QUALITY_MAX_NAME = 'ret_r5m'
 REFINE = dict(max_iters=60, tol=1e-4, noise_rel=3e-4, progress_window=24)
 
 
@@ -68,13 +76,13 @@ def _stale_paths(artifact_commit):
         return ['<git unavailable>']
 
 
-def _quality_sidecar():
+def _quality_sidecar(name=None):
     """Quote the committed on-TPU B=256 quality artifact for RECIPE_NAME."""
     path = os.path.join(REPO, 'benchmarks', 'results', 'quality_retired.json')
     try:
         with open(path) as f:
             art = json.load(f)
-        q = art[RECIPE_NAME]
+        q = art[name or RECIPE_NAME]
         side = {
             'excess_p50_vs_f64ref': q['excess_p50'],
             'excess_p90_vs_f64ref': q['excess_p90'],
@@ -177,13 +185,30 @@ def main():
         "vs_baseline": round(quality_sps / BASELINE_TARGET_SOLVES_PER_S, 3),
         "quality": _quality_sidecar(),
         "roofline": _roofline_sidecar(),
+        "quality_max_point": {
+            **_quality_sidecar(QUALITY_MAX_NAME),
+            "solves_per_s_artifact": _artifact_sps(QUALITY_MAX_NAME),
+            "note": "ret_r5m: prefilter pregate + neighbor-incumbent "
+                    "rescue - the lowest measured B=256 tail",
+        },
         "fast_point": {
             "solves_per_s": round(fast_sps, 2),
             "note": "plain 40-iter descent; p90 cost excess ~36% vs f64 ref "
                     "(quality_sweep_tpu.json) - a speed point, not a "
-                    "solution",
+                    "solution; GPMPC_KERNEL_RED=vpu raises this +22% "
+                    "(946 solves/s, iter_cost.json@5f2dd98) at the quality "
+                    "cost documented in QUALITY_NOTES_r05.md section 6",
         },
     }))
+
+
+def _artifact_sps(name):
+    path = os.path.join(REPO, 'benchmarks', 'results', 'quality_retired.json')
+    try:
+        with open(path) as f:
+            return json.load(f)[name].get('solves_per_s')
+    except Exception:                            # pragma: no cover
+        return None
 
 
 if __name__ == '__main__':

@@ -101,6 +101,13 @@ def _cpu_env():
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--only', type=str, default='',
+                    help='comma-separated workload subset')
+    args = ap.parse_args()
+    only = [w for w in args.only.split(',') if w]
+
     import jax
     jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_gpmpc')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 10)
@@ -112,7 +119,13 @@ def main():
 
     os.makedirs(RESULTS, exist_ok=True)
     out_rows = {}
+    out_path = os.path.join(RESULTS, 'quality_sparse.json')
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            out_rows.update(json.load(f))
     for name, wl in WORKLOADS.items():
+        if only and name not in only:
+            continue
         ref_path = os.path.join(RESULTS, f'quality_sparse_ref_{name}.npz')
         if not os.path.exists(ref_path):
             print(f'phase A ({name}): f64 reference (CPU subprocess)...',
