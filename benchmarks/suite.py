@@ -210,9 +210,26 @@ def config3b():
                lambda i: (jnp.asarray(rng.uniform(-0.2, 0.2, (b, ds)), dtype),))
     print(json.dumps({"config": "3b", "metric": "cartpole_sparse_solves_per_s",
                       "value": round(b / dt, 1), "unit": "solves/s",
+                      "quality": _sparse_quality('3b_sparse_cartpole'),
                       "note": "same workload as config 3 through the FITC "
                               "sparse GP (M=128): the production large-N "
                               "path (M^2 instead of N^2 per-step work)"}))
+
+
+def _sparse_quality(name):
+    """Cost-excess sidecar vs the 600-iter f64 reference of the same FITC
+    posterior (benchmarks/quality_sparse.py; VERDICT r4 item 5 — no headline
+    number without a quality sidecar)."""
+    import json as _json
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        'results', 'quality_sparse.json')
+    try:
+        with open(path) as f:
+            q = _json.load(f)[name]
+        return {k: q[k] for k in ('excess_p50', 'excess_p90', 'excess_max',
+                                  'n_gt1pct', 'b') if k in q}
+    except Exception as e:                       # pragma: no cover
+        return {'error': f'quality_sparse.json unavailable: {e}'}
 
 
 def config4():
@@ -248,8 +265,14 @@ def config4():
                lambda i: (jnp.asarray(rng.uniform(-1, 1, (b, ds)), dtype),))
     print(json.dumps({"config": 4, "metric": "sparse_fullcov_solves_per_s",
                       "value": round(b / dt, 1), "unit": "solves/s",
+                      "quality": _sparse_quality('4_sparse_fullcov'),
                       "note": "M=128 FITC, full cross-output cov, H=50, "
-                              f"B={b} solves"}))
+                              f"B={b} solves. QUALITY PAIRING FAILS at this "
+                              "40-iter budget (excess ~350% vs the 600-iter "
+                              "f64 reference, quality_sparse.json): H=50 "
+                              "needs a production recipe, not the plain "
+                              "descent — treat this row as a THROUGHPUT "
+                              "point only"}))
 
 
 def config5():
