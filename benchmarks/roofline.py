@@ -194,29 +194,28 @@ def main():
     e = int(prob.gp.beta.shape[0])
     d = int(prob.gp.x.shape[1])
     n2 = n_cap * n_cap
-    # PRODUCTION KERNEL (round 5): streamed column sweep, tied chain, pure
-    # VPU — the round-5 retune replaced the W1-row MXU reduction (124/128 M
-    # rows wasted; measured as the call's largest component,
-    # benchmarks/kernel_ablate.py) with W1 column broadcast-multiplies +
-    # sublane-tree sums. The full N^2 chain runs once per (scenario, step),
-    # shared across outputs.
+    # PRODUCTION KERNEL (round-5 default): streamed column sweep, tied
+    # chain, MXU W1 reduction (GPMPC_KERNEL_RED=mxu — the quality-paired
+    # recipe's arithmetic; the measured-faster pure-VPU reduction is the
+    # opt-in, see variance_trace._rw_call_tied). The full N^2 chain runs
+    # once per (scenario, step), shared across outputs. The kernel ablation
+    # (kernel_ablate.json) decomposes the call: the MXU reduction is the
+    # largest component (~45%), exp ~15-20%, grid/DMA/control floor ~30%.
     exps_per_iter = b * horizon * n2                    # tied: E-independent
     # VPU ops per chain element: d outer-product FMAs (p) + ~12 exact-exp
-    # polynomial ops + 1 scale, shared across outputs; per OUTPUT: blam
-    # multiply + W1 reduction (mul+add per column) ~ 1 + 2 * (1 + d).
-    vpu_ops_per_iter = exps_per_iter * (d + 13) \
-        + e * exps_per_iter * (1 + 2 * (1 + d))
-    # MXU: no longer used inside the kernel (p and the reduction are VPU);
-    # residual MXU work (L-BFGS two-loop einsums, bwd O(Nd) contractions,
-    # mean-prop matmuls) is O(B N d) per step — counted for the ratio.
-    mxu_per_iter = b * e * horizon * 2 * n_cap * (2 * d + 2)
+    # polynomial ops + 1 scale, shared across outputs; per OUTPUT a blam
+    # multiply.
+    vpu_ops_per_iter = exps_per_iter * (d + 13) + e * exps_per_iter
+    # MXU: the in-kernel W' @ AOD reductions (HIGHEST = 6 passes, counted
+    # once as useful f32 MACs: 2 * W1 per element per output).
+    mxu_per_iter = b * e * horizon * 2 * n2 * (1 + d)
     hbm_per_step = (e * n2 * 4                       # blam read
                     + b * e * n_cap * (1 + d) * 4 * 2  # rw write + bwd read
                     + b * e * n_cap * (2 * d + 1) * 4)  # prep tensors
     hbm_per_iter = horizon * hbm_per_step
     out['shape'] = {'B': b, 'E': e, 'H': horizon, 'N_capacity': n_cap, 'd': d,
                     'kernel': 'streamed column sweep, tied chain, '
-                              'VPU reduction'}
+                              'MXU W1 reduction (default)'}
     out['per_iter'] = {
         'chain_exps': exps_per_iter,
         'vpu_ops_est': vpu_ops_per_iter,
@@ -311,8 +310,7 @@ def main():
     # shared + ~8 per-output tile ops per pair element) is counted at the
     # measured FMA rate. Their sum over the measured iteration time is the
     # VPU-occupancy estimate.
-    nonexp_ops = exps_per_iter * (d + 1) \
-        + e * exps_per_iter * (1 + 2 * (1 + d))
+    nonexp_ops = exps_per_iter * (d + 1) + e * exps_per_iter
     nonexp_s = nonexp_ops / (vpu_ops_ceiling * 1e9)
     chain_s = (out['per_iter'].get('exact_exp_chain_ms') or 0.0) / 1e3
     out['per_iter']['nonexp_vpu_ms_est'] = round(nonexp_s * 1e3, 3)
@@ -328,9 +326,9 @@ def main():
         'utilization = analytic useful work per measured solver iteration / '
         'empirically measured ceiling on this chip (differenced '
         'microbenchmarks; matmul and HBM land within ~7% of v5e datasheet '
-        'peaks). vpu_chain counts the streamed column-sweep kernel (round-5 '
-        'pure-VPU form: p outer products + exact exp + blam multiply + W1 '
-        'column reduction); iter_ms_hw_exp gives the measured (model-free) '
+        'peaks). vpu_chain counts the streamed column-sweep kernel default '
+        '(p outer products + exact exp + blam multiply; the W1 reduction '
+        'rides the MXU); iter_ms_hw_exp gives the measured (model-free) '
         'split of the iteration into exp-chain vs everything else. The '
         'kernel ablation (kernel_ablate.json) additionally measured a '
         '~115 us/call grid/DMA/control floor — ~30% of each kernel call is '
