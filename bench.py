@@ -16,8 +16,9 @@ point against the 600-iteration f64 reference
 quoted B=64 quality against B=256 throughput (advisor r4, low); measured at
 B=256 the round-4 recipe's tail was 34 lanes >1% (p90 1.45%), which this
 recipe cuts to 17 with max excess 3.3% (p90 0.58%). The quality_max_point
-sidecar quotes ret_r5m (prefilter pregate + neighborhood-outlier rescue):
-p90 0.47%, n>1% 15/256, max 2.9% at 91.6 solves/s — the residual tail is
+sidecar quotes ret_r5m2 (prefilter pregate + neighborhood-outlier rescue,
+3 exchange rounds): p90 0.35%, n>1% 12/256, max 2.9% at 71.4 solves/s — the
+residual tail is
 basin-search-limited (QUALITY_NOTES_r05.md; the per-lane ensemble floor
 across diverse configs is ~8 lanes).
 
@@ -49,8 +50,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 # same name — keep in sync with the artifact): the round-5a exchange recipe
 # (legacy full-width smoothed scoring, pregate=False) — measured the best
 # solves/s at p90 < 1% (112.9 at p90 0.58%). The QUALITY-MAX sidecar quotes
-# ret_r5m (prefilter pregate + neighbor-incumbent rescue: p90 0.47%,
-# n>1% 15/256, max 2.9% at 91.6 solves/s — the lowest tail measured).
+# ret_r5m2 (prefilter pregate + neighbor-incumbent rescue, 3 exchange
+# rounds: p90 0.35%, n>1% 12/256, max 2.9% at 71.4 solves/s — the lowest
+# tail measured; ret_r5m3 reaches p90 0.19% / n 12 at 63).
 RECIPE_NAME = 'ret_prod_nopre'
 RECIPE = dict(n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
               shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
@@ -58,7 +60,7 @@ RECIPE = dict(n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
               shift_lanes_per_chunk=64, shift_rounds=2, shift_max_lanes=64,
               neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
               polish_lanes=64, polish_iters=96, pregate=False)
-QUALITY_MAX_NAME = 'ret_r5m'
+QUALITY_MAX_NAME = 'ret_r5m2'
 REFINE = dict(max_iters=60, tol=1e-4, noise_rel=3e-4, progress_window=24)
 
 
@@ -188,8 +190,9 @@ def main():
         "quality_max_point": {
             **_quality_sidecar(QUALITY_MAX_NAME),
             "solves_per_s_artifact": _artifact_sps(QUALITY_MAX_NAME),
-            "note": "ret_r5m: prefilter pregate + neighbor-incumbent "
-                    "rescue - the lowest measured B=256 tail",
+            "note": "ret_r5m2: prefilter pregate + neighbor-incumbent "
+                    "rescue, 3 exchange rounds - the lowest "
+                    "measured B=256 tail",
         },
         "fast_point": {
             "solves_per_s": round(fast_sps, 2),

@@ -280,6 +280,23 @@ CONFIGS = {
         neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
         polish_lanes=64, polish_iters=96, prefilter=6,
         rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    # Quality-max probes on the final production family (mxu arithmetic).
+    'ret_r5m2': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, prefilter=6,
+        rescue_lanes=32, rescue_starts=6, rescue_iters=60)),
+    'ret_r5m3': ('retired', dict(
+        n_starts=8, prune_to=4, budget1=60, tail_divisor=4,
+        shift_set=(1, -1, 2, -2), shift_iters=48, shift_top=2,
+        shift_smooth_iters=8, shift_margin=0.005,
+        shift_lanes_per_chunk=64, shift_rounds=3, shift_max_lanes=64,
+        neighbor_set=6, neighbor_shifted=1, propose_smoothed=True,
+        polish_lanes=64, polish_iters=96, prefilter=6,
+        rescue_lanes=48, rescue_starts=10, rescue_iters=60)),
     # Final production tuning: start diversity (12 starts incl. 3 jittered
     # zeros — the descent-path diversity measured to recover cold-start-family
     # basins) + wider, deeper polish (the 1-2%% residual band is the VALLEY
