@@ -40,7 +40,11 @@ RNG = np.random.default_rng(11)
 
 
 def test_recipe_beats_plain_tiny():
-    n, ds, da, b, horizon = 40, 2, 1, 6, 8
+    # horizon 6 / 2 shifts / 4 starts: the invariant (recipe contains the
+    # plain cold start and only replaces on improvement) is program-shape
+    # independent; the in-jit multistart program's compile time is the
+    # non-slow suite's single largest cost (143 s at the old shape).
+    n, ds, da, b, horizon = 40, 2, 1, 6, 6
     s = RNG.uniform(-1, 1, (n, ds))
     a = RNG.uniform(-3, 3, (n, da))
     ns = s + 0.1 * np.concatenate([s[:, 1:], np.sin(s[:, :1]) + a], axis=1)
@@ -60,8 +64,8 @@ def test_recipe_beats_plain_tiny():
     plain = pbatch.solve_batch(gp, ds, da, x0s, params, horizon, -3.0, 3.0,
                                sv)
     ms = pbatch.solve_batch_multistart(
-        gp, ds, da, x0s, params, horizon, -3.0, 3.0, sv, n_starts=6,
-        prune_to=3, shift_set=(1, -1, 2, -2), shift_iters=10, shift_prune=2,
+        gp, ds, da, x0s, params, horizon, -3.0, 3.0, sv, n_starts=4,
+        prune_to=2, shift_set=(1, -1), shift_iters=10, shift_prune=2,
         shift_prune_frozen_iters=4)
     c_plain = np.asarray(plain.cost)
     c_ms = np.asarray(ms.cost)
